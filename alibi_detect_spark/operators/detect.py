@@ -1,0 +1,148 @@
+"""Drift/outlier scoring as continuous aggregates over rollup series.
+
+Each source's gap-filled, ordered rollup series is scored inside ONE grouped
+``applyInPandas`` call per source, running the exact NumPy kernels from
+:mod:`alibi_detect_spark.functions` — the same code the oracle runs, so score
+trajectories are bit-identical.
+
+Determinism at scale: per-source randomized configuration (the online-MMD
+bootstrap) is seeded by a stable hash of the source name, NOT by task order,
+so results are invariant to partitioning, retries, and executor count. The
+EWMA / MMD carries needed for resume are tiny per-source blobs persisted via
+:mod:`alibi_detect_spark.plans.lineage`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.ewma import ewma
+from ..functions.mmd import OnlineMMD, OnlineMMDState
+from ..functions.sr import sr_score
+from ..schemas import SCORE_SCHEMA
+from ..synth import mix64
+
+
+def source_seed(source: str, base_seed: int) -> int:
+    """Stable per-source seed — function of (source, job seed) only."""
+    h = np.frombuffer(source.encode("utf-8").ljust(8, b"\0")[:8], dtype=np.uint64)
+    return int(mix64(h ^ np.uint64(base_seed))[0])
+
+
+def _fill_series(pdf: pd.DataFrame, value_col: str, fill: str) -> np.ndarray:
+    v = pdf[value_col].to_numpy(dtype=np.float64)
+    if fill == "zero":
+        return np.nan_to_num(v, nan=0.0)
+    if fill == "ffill":
+        s = pd.Series(v).ffill().bfill()
+        return s.to_numpy(dtype=np.float64)
+    if fill == "none":
+        return v
+    raise ValueError(f"unknown fill {fill!r}")
+
+
+def score_series(
+    pdf: pd.DataFrame,
+    value_col: str = "sum_n_tok",
+    fill: str = "zero",
+    sr_params: dict | None = None,
+    sr_threshold: float = 3.0,
+    mmd_params: dict | None = None,
+    ewma_lam: float = 0.1,
+    base_seed: int = 42,
+    carry: dict | None = None,
+) -> tuple[pd.DataFrame, dict]:
+    """Shared kernel: score ONE source's ordered series. Returns (scores, new carry).
+
+    ``carry`` holds resume state: ``{"ewma": float, "mmd_t": int,
+    "mmd_window": ndarray}`` — restoring it reproduces the uninterrupted
+    trajectory bit-for-bit (FIXTURES.md F5).
+    """
+    pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+    source = pdf["source"].iloc[0]
+    x = _fill_series(pdf, value_col, fill)
+    n = len(x)
+    out = pd.DataFrame(
+        {
+            "source": source,
+            "bucket_ts": pdf["bucket_ts"].to_numpy(dtype=np.int64),
+            "value": x,
+        }
+    )
+    carry = carry or {}
+
+    # --- Spectral Residual (stateless per chunk; chunk = whole series here) ---
+    srp = dict(window_amp=20, window_local=20, n_est_points=10, n_grad_points=5)
+    srp.update(sr_params or {})
+    if n > max(srp["window_amp"], srp["window_local"]):
+        scores = sr_score(x, **srp)
+        out["sr_score"] = scores
+        out["is_outlier"] = (scores > sr_threshold).astype(np.int32)
+    else:
+        out["sr_score"] = np.nan
+        out["is_outlier"] = np.int32(0)
+
+    # --- online MMD over (value) instances, ref = head of the series ---
+    mp = dict(n_ref=64, ert=50.0, window_size=10, n_bootstraps=200)
+    mp.update(mmd_params or {})
+    n_ref = mp.pop("n_ref")
+    if n > n_ref + 2 * mp["window_size"]:
+        det = OnlineMMD.fit(
+            x[:n_ref, None], seed=source_seed(source, base_seed), **mp
+        )
+        state = None
+        if "mmd_t" in carry:
+            state = OnlineMMDState(t=carry["mmd_t"], test_window=carry["mmd_window"])
+        stats, thr, drift, new_state = det.score_stream(x[n_ref:, None], state)
+        pad = np.full(n_ref, np.nan)
+        out["mmd_stat"] = np.concatenate([pad, stats])
+        out["mmd_threshold"] = np.concatenate([pad, thr])
+        out["mmd_is_drift"] = np.concatenate(
+            [np.zeros(n_ref, dtype=np.int32), drift]
+        ).astype(np.int32)
+        carry_out = {"mmd_t": new_state.t, "mmd_window": new_state.test_window}
+    else:
+        out["mmd_stat"] = np.nan
+        out["mmd_threshold"] = np.nan
+        out["mmd_is_drift"] = np.int32(0)
+        carry_out = {}
+
+    # --- EWMA smoothing of the value series (fet_online.py:225-233 recursion) ---
+    out["ewma_stat"] = ewma(x, ewma_lam, carry=carry.get("ewma"))
+    carry_out["ewma"] = float(out["ewma_stat"].iloc[-1]) if n else None
+    return out, carry_out
+
+
+def score_rollup(
+    rollup: DataFrame,
+    value_col: str = "sum_n_tok",
+    fill: str = "zero",
+    sr_params: dict | None = None,
+    sr_threshold: float = 3.0,
+    mmd_params: dict | None = None,
+    ewma_lam: float = 0.1,
+    base_seed: int = 42,
+) -> DataFrame:
+    """Distributed scoring: one ordered ``applyInPandas`` group per source."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        scored, _ = score_series(
+            pdf,
+            value_col=value_col,
+            fill=fill,
+            sr_params=sr_params,
+            sr_threshold=sr_threshold,
+            mmd_params=mmd_params,
+            ewma_lam=ewma_lam,
+            base_seed=base_seed,
+        )
+        return scored
+
+    cols = ["source", "bucket_ts", value_col] + (
+        [] if value_col in ("n_docs", "sum_n_tok") else ["n_docs"]
+    )
+    return rollup.select(*dict.fromkeys(cols)).groupBy("source").applyInPandas(
+        fn, schema=SCORE_SCHEMA
+    )

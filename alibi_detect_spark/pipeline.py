@@ -1,0 +1,127 @@
+"""End-to-end engine job: synth/raw → tier rollups → gap-fill → pages → scores.
+
+``run_pipeline`` is the spark-submit entrypoint body; it returns the handles
+the driver/tests need. Stages write through the :class:`TierCatalog` and stamp
+the :class:`LineageLog`, so a killed job resumes from the last completed stage
+(idempotent overwrite-by-stage; per-source detector state carries via blobs).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.detect import score_rollup
+from .operators.encode import encode_pages
+from .operators.gapfill import gapfill
+from .operators.rollup import downsample, rollup_tier1
+from .plans.lineage import LineageLog
+from .sources.catalog import TierCatalog
+from .synth import SynthConfig, synth_dataframe
+
+TIER_CHAIN = [("1h", "6h"), ("6h", "1d")]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw: DataFrame,
+    warehouse: str,
+    page_size: int = 1024,
+    detect_kwargs: dict | None = None,
+    salted: bool = False,
+) -> dict:
+    cat = TierCatalog(warehouse)
+    log = LineageLog(f"{warehouse}/_lineage")
+    metrics: dict[str, float] = {}
+
+    def timed(stage, fn):
+        t0 = time.monotonic()
+        out = fn()
+        metrics[stage] = time.monotonic() - t0
+        return out
+
+    t1 = rollup_tier1(raw, "1h", salted=salted)
+    t1f = gapfill(t1, "1h")
+    timed("tier_1h", lambda: cat.write_rollup(t1f, "rollup_1h"))
+    t1f = cat.read(spark, "rollup_1h")
+    log.record("rollup", "1h", "raw", t1f.count(), metrics={"sec": metrics["tier_1h"]})
+
+    tiers = {"1h": t1f}
+    for src, dst in TIER_CHAIN:
+        t = downsample(tiers[src], src, dst)
+        timed(f"tier_{dst}", lambda t=t, dst=dst: cat.write_rollup(t, f"rollup_{dst}"))
+        tiers[dst] = cat.read(spark, f"rollup_{dst}")
+        log.record("rollup", dst, src, tiers[dst].count(), metrics={"sec": metrics[f"tier_{dst}"]})
+
+    pages = None
+    for tier, df in tiers.items():
+        p = encode_pages(df, tier, page_size=page_size)
+        pages = p if pages is None else pages.unionByName(p)
+    timed("pages", lambda: cat.write_pages(pages, "pages"))
+    pages = cat.read(spark, "pages")
+    log.record("encode", "all", "tiers", pages.count(), metrics={"sec": metrics["pages"]})
+
+    scores = score_rollup(tiers["1h"], **(detect_kwargs or {}))
+    timed("scores", lambda: cat.write_rollup(scores, "scores_1h"))
+    scores = cat.read(spark, "scores_1h")
+    log.record("detect", "1h", "rollup_1h", scores.count(), metrics={"sec": metrics["scores"]})
+
+    return {"tiers": tiers, "pages": pages, "scores": scores, "metrics": metrics, "catalog": cat}
+
+
+def run_synthetic(
+    spark: SparkSession, n_rows: int, warehouse: str, n_sources: int = 8,
+    rows_per_bucket: int = 512, **kwargs
+) -> dict:
+    cfg = SynthConfig(n_rows=n_rows, n_sources=n_sources, rows_per_bucket=rows_per_bucket)
+    raw = synth_dataframe(spark, cfg, with_tokens=False)
+    return run_pipeline(spark, raw, warehouse, **kwargs)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit entrypoint: ``spark-submit --py-files adspark.zip -m ...``
+    or ``spark-submit pipeline.py --rows 1000000 --warehouse /tmp/wh``."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="tier rollup + encode + detect job")
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--sources", type=int, default=32)
+    ap.add_argument("--rows-per-bucket", type=int, default=512)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--page-size", type=int, default=1024)
+    ap.add_argument("--salted", action="store_true")
+    args = ap.parse_args(argv)
+
+    # under spark-submit an active session already exists/is configured by the
+    # launcher; getOrCreate picks it up, so get_spark's local[] is a fallback
+    from .session import get_spark
+
+    spark = get_spark("adspark-pipeline")
+    out = run_synthetic(
+        spark,
+        args.rows,
+        args.warehouse,
+        n_sources=args.sources,
+        rows_per_bucket=args.rows_per_bucket,
+        page_size=args.page_size,
+        salted=args.salted,
+    )
+    rows_1h = out["tiers"]["1h"].count()
+    n_pages = out["pages"].count()
+    n_scores = out["scores"].count()
+    print(
+        json.dumps(
+            {
+                "rollup_1h_rows": rows_1h,
+                "pages": n_pages,
+                "scores": n_scores,
+                "stage_seconds": {k: round(v, 3) for k, v in out["metrics"].items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
