@@ -1,38 +1,632 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship rollup→gapfill→score pipeline on the
+sf0.001 documents table re-expressed as the input_hint token table.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data-pipeline family (dedup / ANN / text analysis); ``oracle_sql()``
+gives the DuckDB-checkable twin of each. Column names and float rounding are
+aligned between both sides (see module docstrings in
+``alibi_detect_spark/operators/*`` for the numeric-parity contracts).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from alibi_detect_spark.operators import ann, dedup, drift, textstats  # noqa: E402
+from alibi_detect_spark.operators.detect import ewma_over, score_rollup  # noqa: E402
+from alibi_detect_spark.operators.gapfill import gapfill  # noqa: E402
+from alibi_detect_spark.operators.rollup import (  # noqa: E402
+    metric_downsample,
+    metric_gapfill,
+    metric_rollup,
+    rollup_tier1,
+)
+
+EPOCH0 = 1_704_067_200  # 2024-01-01T00:00:00Z, matches the events table epoch
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _token_table(docs: DataFrame) -> DataFrame:
+    """documents.parquet → the input_hint token-table shape, with a
+    deterministic event_ts derived from doc_id (spread over 240 hourly
+    buckets) so the time-series engine has a real axis to roll up."""
+    ts = F.lit(EPOCH0) + (F.col("doc_id").cast("long") % 240) * 3600
+    return textstats.tokens_from_text(
+        docs.withColumn("event_ts", F.timestamp_seconds(ts)), extra_cols=("event_ts",)
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: token table → tier-1 hourly rollup → gap-fill → SR/MMD/EWMA
+    scores per source (the SURVEY §7.1 slice, minus the tier write)."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    tok = _token_table(docs)
+    t1 = gapfill(rollup_tier1(tok, "1h"), "1h")
+    return score_rollup(t1, mmd_params={"n_ref": 16, "window_size": 5, "n_bootstraps": 50})
+
+
+# ---------------------------------------------------------------------------
+# helpers shared by several queries
+# ---------------------------------------------------------------------------
+
+def _events_labeled(spark, sf):
+    # Column construction needs an active SparkContext → build lazily
+    sample = F.when(F.col("event_id") % 2 == 0, F.lit("ref")).otherwise(F.lit("test"))
+    return _t(spark, sf, "events").withColumn("sample", sample)
+
+
+def _docs_ntok(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.withColumn("n_tok", F.size(F.split(F.col("text"), " ")))
+
+
+# hourly rollup of events reshaped to the engine's rollup schema for detectors
+def _events_as_rollup(spark, sf):
+    r = metric_rollup(_t(spark, sf, "events"), "event_type", "ts", "value", "1h")
+    return r.select(
+        F.col("event_type").alias("source"),
+        "bucket_ts",
+        F.col("n_events").alias("n_docs"),
+        F.col("n_events").cast("long").alias("sum_n_tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- tier rollup / gap-fill / retention core -------------------------
+    q["rollup_1h_events"] = lambda s, sf: metric_rollup(
+        _t(s, sf, "events"), "event_type", "ts", "value", "1h"
+    )
+    q["rollup_1d_cascade"] = lambda s, sf: metric_downsample(
+        metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
+        "event_type",
+        "1h",
+        "1d",
+    )
+    q["gapfill_1h_events"] = lambda s, sf: metric_gapfill(
+        metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
+        "event_type",
+        "1h",
+    )
+    q["token_rollup_source"] = lambda s, sf: (
+        _docs_ntok(s, sf)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("sum_n_tok"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+            (F.sum(F.col("n_tok").cast("long")) / F.count(F.lit(1))).alias("mean_n_tok"),
+        )
+    )
+    q["token_rollup_1h"] = lambda s, sf: rollup_tier1(
+        _token_table(_t(s, sf, "documents")), "1h"
+    )
+    q["token_invariant"] = lambda s, sf: (
+        textstats.tokens_from_text(_t(s, sf, "documents")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("tokens").cast("long")).alias("sum_n_tok"),
+            F.sum(
+                F.when(F.size("tokens") != F.col("n_tok"), 1).otherwise(0).cast("long")
+            ).alias("violations"),
+        )
+    )
+    q["ewma_hourly_counts"] = lambda s, sf: ewma_over(
+        metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        lam=0.1,
+    )
+    q["quantile_thresholds"] = lambda s, sf: (
+        _t(s, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
+    q["ref_update_last_n"] = lambda s, sf: (
+        _t(s, sf, "events")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") <= 200)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_ref"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.max("event_id").alias("newest_event_id"),
+        )
+    )
+
+    # --- drift operators (SURVEY §2.1/§2.2) ------------------------------
+    q["ks_drift"] = lambda s, sf: drift.ks_2samp(_events_labeled(s, sf), "event_type", "value")
+    q["cvm_drift"] = lambda s, sf: drift.cvm_2samp(_events_labeled(s, sf), "event_type", "value")
+    q["chi2_drift"] = lambda s, sf: drift.chi2_contingency(_events_labeled(s, sf), "event_type")
+    q["mmd_drift"] = lambda s, sf: drift.mmd_2samp(
+        _events_labeled(s, sf), "value", n_per_side=256, sigma=5.0, order_col="event_id"
+    )
+    q["mahalanobis_topk"] = lambda s, sf: drift.mahalanobis_scores(
+        _t(s, sf, "lineitem"), ("l_quantity", "l_discount"), ["l_orderkey", "l_linenumber"], 100
+    )
+    q["knn_outlier"] = lambda s, sf: ann.knn_outlier_scores(
+        _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, k=5
+    )
+    q["sr_saliency"] = lambda s, sf: (
+        score_rollup(_events_as_rollup(s, sf)).select(
+            "source", "bucket_ts", F.round("sr_score", 6).alias("sr_score"), "is_outlier"
+        )
+    )
+    q["mmd_online"] = lambda s, sf: (
+        score_rollup(_events_as_rollup(s, sf)).select(
+            "source",
+            "bucket_ts",
+            F.round("mmd_stat", 6).alias("mmd_stat"),
+            F.round("mmd_threshold", 6).alias("mmd_threshold"),
+            "mmd_is_drift",
+        )
+    )
+
+    # --- dedup family ----------------------------------------------------
+    q["dedup_exact_prefix"] = lambda s, sf: dedup.exact_dup_groups(
+        _t(s, sf, "documents"), prefix_words=8
+    )
+    q["dedup_ngram_jaccard"] = lambda s, sf: dedup.ngram_jaccard_pairs(
+        _t(s, sf, "documents"), n=3, threshold=0.05
+    )
+    q["dedup_minhash_lsh"] = lambda s, sf: dedup.minhash_lsh_pairs(
+        _t(s, sf, "documents"), n=3, threshold=0.05
+    )
+    q["simhash"] = lambda s, sf: dedup.simhash32(_t(s, sf, "documents"))
+    q["dedup_simhash_pairs"] = lambda s, sf: dedup.simhash_near_pairs(
+        _t(s, sf, "documents"), max_hamming=3
+    )
+
+    # --- similarity search ------------------------------------------------
+    q["ann_cosine_topk"] = lambda s, sf: ann.cosine_topk(
+        _t(s, sf, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+    q["ann_ivf_topk"] = lambda s, sf: ann.cosine_topk_ivf(
+        _t(s, sf, "embeddings"), F.col("vec_id") < 10, k=3
+    )
+
+    # --- text analysis ----------------------------------------------------
+    q["lang_id"] = lambda s, sf: textstats.lang_id(_t(s, sf, "documents"))
+    q["quality_score"] = lambda s, sf: textstats.quality_score(_t(s, sf, "documents"))
+    q["token_counts"] = lambda s, sf: textstats.token_counts(_t(s, sf, "documents"))
+    q["fingerprint"] = lambda s, sf: textstats.fingerprint(_t(s, sf, "documents"))
+
+    # --- relational rollup headline (TPC-H q1 pricing summary) -----------
+    def tpch_q1(s, sf):
+        li = _t(s, sf, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - d("l_discount")))
+                .cast("double")
+                .alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+            .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+        )
+
+    q["tpch_q1"] = tpch_q1
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL twins — identical names, identical rounding)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_1H = """
+SELECT event_type,
+       CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+_SHINGLES = """
+SELECT doc_id,
+       list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+FROM documents
+"""
+
+_SIMHASH = """
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(0,31), b ->
+         CASE WHEN 2*len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+              THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS simhash
+FROM (SELECT doc_id,
+             list_transform(string_split(text,' '),
+               w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT)) AS hs
+      FROM documents)
+"""
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1,64), i -> {a}[i]*{b}[i]), (x,y) -> x+y)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["rollup_1h_events"] = _ROLLUP_1H
+
+    o["rollup_1d_cascade"] = f"""
+WITH r AS ({_ROLLUP_1H})
+SELECT event_type,
+       CAST(floor(bucket_ts/86400)*86400 AS BIGINT) AS bucket_ts,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(CAST(sum_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(min(CAST(min_value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+       CAST(max(CAST(max_value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+       round(CAST(sum(CAST(sum_value AS DECIMAL(18,2))) AS DOUBLE)/sum(n_events), 6) AS avg_value
+FROM r GROUP BY 1, 2
+"""
+
+    o["gapfill_1h_events"] = f"""
+WITH r AS ({_ROLLUP_1H}),
+b AS (SELECT event_type, min(bucket_ts) lo, max(bucket_ts) hi FROM r GROUP BY 1),
+grid AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket_ts FROM b)
+SELECT g.event_type AS event_type, g.bucket_ts AS bucket_ts,
+       CAST(coalesce(r.n_events, 0) AS BIGINT) AS n_events,
+       coalesce(r.sum_value, 0.0) AS sum_value,
+       r.min_value AS min_value, r.max_value AS max_value, r.avg_value AS avg_value,
+       r.n_events IS NULL AS gapfilled
+FROM grid g LEFT JOIN r ON g.event_type = r.event_type AND g.bucket_ts = r.bucket_ts
+"""
+
+    o["token_rollup_source"] = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_n_tok,
+       CAST(min(len(string_split(text,' '))) AS INTEGER) AS min_n_tok,
+       CAST(max(len(string_split(text,' '))) AS INTEGER) AS max_n_tok,
+       CAST(sum(len(string_split(text,' '))) AS BIGINT) / count(*) AS mean_n_tok
+FROM documents GROUP BY 1
+"""
+
+    o["token_rollup_1h"] = """
+SELECT source,
+       CAST(1704067200 + (doc_id % 240) * 3600 AS BIGINT) AS bucket_ts,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_n_tok,
+       CAST(min(len(string_split(text,' '))) AS INTEGER) AS min_n_tok,
+       CAST(max(len(string_split(text,' '))) AS INTEGER) AS max_n_tok,
+       CAST(sum(len(string_split(text,' '))) AS BIGINT) / count(*) AS mean_n_tok,
+       false AS gapfilled
+FROM documents GROUP BY 1, 2
+"""
+
+    o["token_invariant"] = """
+SELECT count(*) AS n_docs,
+       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_n_tok,
+       CAST(0 AS BIGINT) AS violations
+FROM documents
+"""
+
+    o["ewma_hourly_counts"] = """
+WITH r AS (SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+                  count(*) AS n FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, bucket_ts, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1 AS i
+      FROM r)
+SELECT event_type, bucket_ts,
+       round(pow(0.9, i) * sum((CASE WHEN i = 0 THEN CAST(n AS DOUBLE) ELSE 0.1*n END) * pow(1/0.9, i))
+             OVER (PARTITION BY event_type ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING), 6) AS ewma
+FROM s
+"""
+
+    o["quantile_thresholds"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+"""
+
+    o["ref_update_last_n"] = """
+WITH rk AS (SELECT event_type, value, event_id,
+                   row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) rn
+            FROM events)
+SELECT event_type, count(*) AS n_ref,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(max(event_id) AS BIGINT) AS newest_event_id
+FROM rk WHERE rn <= 200 GROUP BY 1
+"""
+
+    _LAB = "SELECT event_type, value, CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s FROM events"
+    _ECDF = f"""
+lab AS ({_LAB}),
+g AS (SELECT event_type, value,
+             sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+             sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS c_test
+      FROM lab GROUP BY 1, 2),
+c AS (SELECT event_type, value, c_ref, c_test,
+             sum(c_ref)  OVER (PARTITION BY event_type ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_ref,
+             sum(c_test) OVER (PARTITION BY event_type ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_test,
+             sum(c_ref)  OVER (PARTITION BY event_type) AS n_ref,
+             sum(c_test) OVER (PARTITION BY event_type) AS n_test
+      FROM g)
+"""
+
+    o["ks_drift"] = f"""
+WITH {_ECDF},
+d AS (SELECT event_type, n_ref, n_test, max(abs(cum_ref/n_ref - cum_test/n_test)) AS d_raw
+      FROM c GROUP BY 1, 2, 3),
+t AS (SELECT event_type, n_ref, n_test, d_raw,
+             sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS tt FROM d)
+SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_test AS BIGINT) AS n_test,
+       round(d_raw, 9) AS ks_stat,
+       round(CASE WHEN tt <= 0 THEN 1.0 ELSE
+         least(greatest(list_sum(list_transform(generate_series(1, 100),
+           k -> 2.0 * pow(-1.0, k-1) * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * tt * tt))), 0.0), 1.0)
+       END, 9) AS p_value
+FROM t
+"""
+
+    o["cvm_drift"] = f"""
+WITH {_ECDF},
+m AS (SELECT *, (cum_ref + cum_test) - ((c_ref + c_test) - 1)/2.0 AS midrank FROM c),
+b AS (SELECT event_type, n_ref, n_test,
+  sum(CAST(c_ref AS DOUBLE)*(midrank - CAST(cum_ref - c_ref + 1 AS DOUBLE))*(midrank - CAST(cum_ref - c_ref + 1 AS DOUBLE))
+      - 2*(midrank - CAST(cum_ref - c_ref + 1 AS DOUBLE))*(CAST(c_ref AS DOUBLE)*(CAST(c_ref AS DOUBLE)-1)/2)
+      + (CAST(c_ref AS DOUBLE)-1)*CAST(c_ref AS DOUBLE)*(2*CAST(c_ref AS DOUBLE)-1)/6) AS sx,
+  sum(CAST(c_test AS DOUBLE)*(midrank - CAST(cum_test - c_test + 1 AS DOUBLE))*(midrank - CAST(cum_test - c_test + 1 AS DOUBLE))
+      - 2*(midrank - CAST(cum_test - c_test + 1 AS DOUBLE))*(CAST(c_test AS DOUBLE)*(CAST(c_test AS DOUBLE)-1)/2)
+      + (CAST(c_test AS DOUBLE)-1)*CAST(c_test AS DOUBLE)*(2*CAST(c_test AS DOUBLE)-1)/6) AS sy
+  FROM m GROUP BY 1, 2, 3)
+SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_test AS BIGINT) AS n_test,
+       round(
+         (CAST(n_ref AS DOUBLE)*sx + CAST(n_test AS DOUBLE)*sy)
+           / (CAST(n_ref AS DOUBLE)*CAST(n_test AS DOUBLE)*(CAST(n_ref AS DOUBLE)+CAST(n_test AS DOUBLE)))
+         - (4*CAST(n_test AS DOUBLE)*CAST(n_ref AS DOUBLE) - 1)/(6*(CAST(n_test AS DOUBLE)+CAST(n_ref AS DOUBLE))), 9) AS cvm_stat
+FROM b
+"""
+
+    o["chi2_drift"] = f"""
+WITH lab AS ({_LAB}),
+cells AS (SELECT event_type, s, count(*) AS obs FROM lab GROUP BY 1, 2),
+tot AS (SELECT sum(obs) AS n FROM cells),
+rm AS (SELECT event_type, sum(obs) AS row_n FROM cells GROUP BY 1),
+cm AS (SELECT s, sum(obs) AS col_n FROM cells GROUP BY 1)
+SELECT round(sum((obs - row_n*col_n/n) * (obs - row_n*col_n/n) / (row_n*col_n/n)), 9) AS chi2_stat,
+       CAST((count(DISTINCT cells.event_type) - 1) * (count(DISTINCT cells.s) - 1) AS BIGINT) AS dof
+FROM cells JOIN rm USING (event_type) JOIN cm USING (s) CROSS JOIN tot
+"""
+
+    o["mmd_drift"] = """
+WITH lab AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+                    value AS v, event_id AS o FROM events),
+sub AS (SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY o) AS rn FROM lab
+        QUALIFY rn <= 256),
+p AS (SELECT a.s AS sa, b.s AS sb, a.rn AS ia, b.rn AS ib,
+             exp(-0.02*(a.v - b.v)*(a.v - b.v)) AS k
+      FROM sub a CROSS JOIN sub b),
+agg AS (SELECT
+  sum(CASE WHEN sa = 'ref' AND sb = 'ref' AND ia <> ib THEN k ELSE 0.0 END) AS kxx,
+  sum(CASE WHEN sa <> 'ref' AND sb <> 'ref' AND ia <> ib THEN k ELSE 0.0 END) AS kyy,
+  sum(CASE WHEN sa = 'ref' AND sb <> 'ref' THEN k ELSE 0.0 END) AS kxy,
+  sum(CASE WHEN sa = 'ref' AND sb = 'ref' THEN 1 ELSE 0 END) AS nn,
+  sum(CASE WHEN sa <> 'ref' AND sb <> 'ref' THEN 1 ELSE 0 END) AS mm,
+  sum(CASE WHEN sa = 'ref' AND sb <> 'ref' THEN 1 ELSE 0 END) AS nm
+  FROM p)
+SELECT CAST(sqrt(nn) AS BIGINT) AS n_ref, CAST(sqrt(mm) AS BIGINT) AS n_test,
+       round(kxx/(sqrt(nn)*(sqrt(nn)-1)) + kyy/(sqrt(mm)*(sqrt(mm)-1)) - 2*kxy/nm, 6) AS mmd2
+FROM agg
+"""
+
+    o["mahalanobis_topk"] = """
+WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))*CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx_r,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,4))*CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy_r,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))*CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy_r
+            FROM lineitem),
+mo AS (SELECT sx/n AS mx, sy/n AS my,
+              sxx_r/n - (sx/n)*(sx/n) AS sxx,
+              syy_r/n - (sy/n)*(sy/n) AS syy,
+              sxy_r/n - (sx/n)*(sy/n) AS sxy
+       FROM st),
+sc AS (SELECT l_orderkey, l_linenumber,
+              round((syy*(CAST(l_quantity AS DOUBLE) - mx)*(CAST(l_quantity AS DOUBLE) - mx)
+                     - 2*sxy*(CAST(l_quantity AS DOUBLE) - mx)*(CAST(l_discount AS DOUBLE) - my)
+                     + sxx*(CAST(l_discount AS DOUBLE) - my)*(CAST(l_discount AS DOUBLE) - my))
+                    / (sxx*syy - sxy*sxy), 6) AS maha_score
+       FROM lineitem CROSS JOIN mo)
+SELECT l_orderkey, l_linenumber, maha_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY maha_score DESC, l_orderkey, l_linenumber) AS rk FROM sc)
+WHERE rk <= 100
+"""
+
+    _SQ = "list_reduce(list_transform(generate_series(1,64), i -> (t.tv[i]-r.rv[i])*(t.tv[i]-r.rv[i])), (x,y) -> x+y)"
+    o["knn_outlier"] = f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+ref AS (SELECT vec_id AS ref_id, v AS rv FROM base WHERE vec_id % 5 = 0),
+test AS (SELECT vec_id, v AS tv FROM base),
+pairs AS (SELECT t.vec_id, r.ref_id, round(sqrt({_SQ}), 6) AS dist
+          FROM test t JOIN ref r ON t.vec_id <> r.ref_id),
+rk AS (SELECT vec_id, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ref_id) AS rn
+       FROM pairs)
+SELECT vec_id, dist AS knn_dist FROM rk WHERE rn = 5
+"""
+
+    _COS = (
+        f"{_DOT.format(a='q.qv', b='t.tv')} / "
+        f"(sqrt({_DOT.format(a='q.qv', b='q.qv')}) * sqrt({_DOT.format(a='t.tv', b='t.tv')}))"
+    )
+    o["ann_cosine_topk"] = f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
+t AS (SELECT vec_id AS match_id, v AS tv FROM base),
+pairs AS (SELECT query_id, match_id, round({_COS}, 6) AS cosine
+          FROM t CROSS JOIN q WHERE match_id <> query_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank
+       FROM pairs)
+SELECT query_id, match_id, cosine, CAST(rank AS INTEGER) AS rank FROM rk WHERE rank <= 5
+"""
+
+    o["ann_ivf_topk"] = f"""
+WITH base AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS cell, v AS qv FROM base WHERE vec_id < 10),
+t AS (SELECT vec_id AS match_id, label AS cell, v AS tv FROM base),
+pairs AS (SELECT query_id, match_id, round({_COS}, 6) AS cosine
+          FROM t JOIN q USING (cell) WHERE match_id <> query_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank
+       FROM pairs)
+SELECT query_id, match_id, cosine, CAST(rank AS INTEGER) AS rank FROM rk WHERE rank <= 3
+"""
+
+    o["dedup_exact_prefix"] = """
+SELECT md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS content_hash,
+       count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+    o["dedup_ngram_jaccard"] = f"""
+WITH sh0 AS ({_SHINGLES}),
+sh AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle),1,15)) AS BIGINT) AS h60
+       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh0)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.h60 = b.h60 AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(c / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+FROM common JOIN sizes sa ON common.doc_a = sa.doc_id JOIN sizes sb ON common.doc_b = sb.doc_id
+WHERE round(c / (sa.n_sh + sb.n_sh - c), 6) >= 0.05
+"""
+
+    _MH_SIGS = ",\n        ".join(
+        f"min((h32*{a} + {b}) % 4294967311) AS sig{j}"
+        for j, (a, b) in enumerate(
+            [(745291, 911), (993319, 8191), (614657, 127), (826663, 524287),
+             (336671, 2047), (481231, 31), (705187, 65535), (199933, 4095)]
+        )
+    )
+    _MH_BANDS = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, CAST(sig{2*b} AS VARCHAR)||','||CAST(sig{2*b+1} AS VARCHAR) AS band_key FROM sig"
+        for b in range(4)
+    )
+    o["dedup_minhash_lsh"] = f"""
+WITH sh0 AS ({_SHINGLES}),
+sh AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(shingle),1,15)) AS BIGINT) AS h60,
+              CAST(('0x' || substr(md5(shingle),1,8)) AS BIGINT) AS h32
+       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh0)),
+sig AS (SELECT doc_id, count(*) AS n_sh,
+        {_MH_SIGS}
+        FROM sh GROUP BY 1),
+banded AS ({_MH_BANDS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+common AS (SELECT c.doc_a, c.doc_b, count(*) AS com
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h60 = sa.h60
+           GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+SELECT doc_a, doc_b, round(com / (sa.n_sh + sb.n_sh - com), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(com / (sa.n_sh + sb.n_sh - com), 6) >= 0.05
+"""
+
+    o["simhash"] = _SIMHASH
+
+    o["dedup_simhash_pairs"] = f"""
+WITH s AS ({_SIMHASH}),
+banded AS (SELECT doc_id, simhash, b AS band_id, (simhash >> (b*8)) & 255 AS band_val
+           FROM s CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b)),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS xa, b.simhash AS xb
+          FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(generate_series(0,31), b -> (xor(xa, xb) >> b) & 1 = 1)) AS INTEGER) AS hamming
+FROM pairs
+WHERE len(list_filter(generate_series(0,31), b -> (xor(xa, xb) >> b) & 1 = 1)) <= 3
+"""
+
+    _STOP = "('the','a','an','and','of','to','in','is','it','on','for','with')"
+    o["lang_id"] = f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents)
+SELECT doc_id,
+       round(len(list_filter(words, x -> x IN {_STOP})) / len(words), 6) AS stop_ratio,
+       CASE WHEN round(len(list_filter(words, x -> x IN {_STOP})) / len(words), 6) > 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM w
+"""
+
+    o["quality_score"] = f"""
+WITH w AS (SELECT doc_id, text, string_split(text,' ') AS words, length(text) AS n_chars FROM documents),
+f AS (SELECT doc_id,
+             len(words) AS n_words,
+             (n_chars - (len(words) - 1)) / len(words) AS mean_word_len,
+             len(list_filter(words, x -> x IN {_STOP})) / len(words) AS stop_ratio,
+             len(list_distinct(words)) / len(words) AS uniq_ratio,
+             length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / n_chars AS punct_ratio
+      FROM w)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, round(mean_word_len, 6) AS mean_word_len,
+       round(stop_ratio, 6) AS stop_ratio, round(uniq_ratio, 6) AS uniq_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio * 2 + uniq_ratio - punct_ratio, 6) AS quality
+FROM f
+"""
+
+    o["token_counts"] = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS regex_tokens
+FROM documents GROUP BY 1
+"""
+
+    o["fingerprint"] = """
+SELECT doc_id,
+       list_reduce(list_transform(string_split(text,' '), w -> CAST(length(w)*131 + ascii(w) AS BIGINT)),
+                   (a, b) -> (a*1000003 + b) % 2147483647) AS fingerprint
+FROM documents
+"""
+
+    o["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+    # sr_saliency / mmd_online: FFT + seeded-bootstrap detectors — not
+    # SQL-expressible; the driver records rows-only checks, and the NumPy
+    # bit-match tests in tests/ cover their numerics.
+    return o

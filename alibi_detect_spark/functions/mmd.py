@@ -98,6 +98,12 @@ class OnlineMMD:
             raise ValueError(f"need len(x_ref) > 2*window_size, got {n} vs W={w}")
         d2 = squared_pairwise_distance(x_ref, x_ref)
         sig = sigma if sigma is not None else median_heuristic_sigma(x_ref, x_ref, d2)
+        if not np.isfinite(sig) or sig <= 0.0:
+            # degenerate ref (constant / gap-dominated series): any positive
+            # bandwidth gives k≡1 on the ref; pick 1.0 so the stream side
+            # still discriminates. The reference never guards this (it assumes
+            # informative x_ref); at pipeline scale empty sources are routine.
+            sig = 1.0
         k_xx = np.exp(-d2 / (2.0 * sig**2))
         fpr = 1.0 / ert
         rng = np.random.default_rng(seed)
@@ -128,14 +134,22 @@ class OnlineMMD:
                     for s, yi, c in zip(kxx_sums, y_inds, kxy_cols)
                 ]
             )
-            thresholds[step] = quantile(mmds, 1.0 - fpr, qtype=7)
+            if mmds.size == 0:
+                # all bootstrap streams discarded (degenerate/tied stats) —
+                # carry the last threshold forward instead of failing the fit
+                thresholds[step:] = thresholds[step - 1] if step else np.inf
+                break
+            # conditional quantile; clamp p to what the surviving sample can
+            # estimate (small n_bootstraps or heavy discards)
+            p = min(1.0 - fpr, (mmds.size - 1) / mmds.size)
+            thresholds[step] = quantile(mmds, max(p, 1.0 / mmds.size), qtype=7)
             keep = mmds < thresholds[step]
             y_inds = [yi for yi, k in zip(y_inds, keep) if k]
             kxx_sums = kxx_sums[keep]
             kxy_cols = [c for c, k in zip(kxy_cols, keep) if k]
 
         # --- ref split, retried until no initial detection (:110-132) ---
-        while True:
+        for _attempt in range(1000):
             perm = rng.permutation(n)
             ref_inds, init_inds = perm[:rw], perm[-w:]
             k_sub = k_xx[np.ix_(ref_inds, ref_inds)]

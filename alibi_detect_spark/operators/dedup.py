@@ -1,0 +1,259 @@
+"""Deduplication operators for training-data pipelines.
+
+Not part of the reference (alibi-detect has no dedup); these are the standard
+web-scale dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard)
+expressed as declarative DataFrame plans so Catalyst owns the physical
+strategy.
+
+Plan shape (the 100 TB posture): every operator is
+``explode → map-side hash → hash-aggregate / equi-join`` — no giant nested
+array expressions, no cross joins, nothing driver-side. Candidate generation
+is always bounded by an LSH bucket or an inverted index; verification joins
+touch candidate pairs only.
+
+Portability contract: per-shingle/word hashing is md5-based (identical in
+Spark and DuckDB: ``conv(md5[:k],16,10)``), and the k MinHash permutations
+are affine integer mixes ``(a_j·h + b_j) mod P`` with a_j < 2²⁰, h < 2³²,
+P prime > 2³² — products stay < 2⁵², safe under ANSI overflow checking in
+both engines, so every operator has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MINHASH_K = 8  # signature length
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands × 8 bits: hamming ≤ 3 ⇒ ≥1 identical band
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+# affine permutation constants (a_j, b_j), a_j odd, < 2^20
+MINHASH_AB = [
+    (745_291, 911), (993_319, 8_191), (614_657, 127), (826_663, 524_287),
+    (336_671, 2_047), (481_231, 31), (705_187, 65_535), (199_933, 4_095),
+]
+
+
+def words_col(text: str = "text"):
+    return F.split(F.col(text), " ")
+
+
+def shingles_col(text: str = "text", n: int = 3):
+    """Distinct word n-gram shingles as an array column."""
+    w = words_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def _h60(col):
+    """60-bit md5-derived shingle key — join-equality only (no arithmetic),
+    collision odds ~n²/2⁶¹."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _h32(col):
+    """32-bit md5-derived hash — small enough for ANSI-safe affine mixing."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exploded_shingles(docs: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, h60, h32) per distinct shingle — the shared inverted-index
+    relation behind jaccard and minhash. One md5 per shingle occurrence,
+    computed map-side; everything downstream is integer."""
+    sh = docs.select("doc_id", F.explode(shingles_col(text, n)).alias("shingle"))
+    return sh.select("doc_id", _h60(F.col("shingle")).alias("h60"), _h32(F.col("shingle")).alias("h32"))
+
+
+def exact_dup_groups(
+    docs: DataFrame, text: str = "text", prefix_words: int | None = None
+) -> DataFrame:
+    """Exact dedup: content-hash groupBy. One shuffle on the hash; at 100 TB
+    the md5 is computed map-side and only (hash, id) pairs shuffle — the text
+    column itself never moves. keep = min(doc_id) is the canonical survivor.
+    ``prefix_words`` hashes only the first k words (prefix-normalized dedup,
+    the usual trick for boilerplate-leading crawl pages)."""
+    if prefix_words is None:
+        key = F.md5(F.col(text))
+    else:
+        key = F.md5(F.concat_ws(" ", F.slice(words_col(text), 1, prefix_words)))
+    return (
+        docs.select(key.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text: str = "text", n: int = 3, threshold: float = 0.05
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    explode distinct shingles → self-join on the 60-bit shingle key →
+    |A∩B| by count → J = common / (|A| + |B| − common).
+
+    This is the EXACT (quadratic-in-collisions) baseline; the scale path is
+    :func:`minhash_lsh_pairs`, which bounds candidate generation by LSH bucket
+    instead of raw shingle collision.
+    """
+    sh = exploded_shingles(docs, text, n).select("doc_id", "h60")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h60")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h60")
+    common = (
+        a.join(b, "h60")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text: str = "text", n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
+    """Per-doc MinHash signature as k integer columns ``sig0..sig{k-1}``:
+    sig_j = min over shingles of ``(a_j·h32 + b_j) mod P``. One hash-aggregate
+    over the exploded shingle relation — partial min map-side, so the shuffle
+    carries one row per (doc, partition)."""
+    sh = exploded_shingles(docs, text, n)
+    aggs = [F.count(F.lit(1)).alias("n_sh")] + [
+        F.min((F.col("h32") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig{j}")
+        for j, (a, b) in enumerate(MINHASH_AB[:k])
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs — the 100 TB dedup path.
+
+    signatures → ``bands`` (band_id, band keys) rows per doc → shuffle ONLY on
+    the band key → candidate id-pairs → verify candidates with exact Jaccard
+    via the inverted shingle index (a broadcast-able join of candidates
+    against the exploded relation). Candidate volume is governed by the
+    banding S-curve; hot boilerplate buckets are the skew risk and get AQE
+    skew-join handling at scale.
+    """
+    rows = k // bands
+    sigs = minhash_signatures(docs, text, n, k)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(",", *[F.col(f"sig{b * rows + r}") for r in range(rows)]).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_arr).alias("bk")).select(
+        "doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify: count common shingles of candidate pairs via the inverted index
+    sh = exploded_shingles(docs, text, n).select("doc_id", "h60")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h60"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("h60").alias("h60_b")), "doc_b")
+        .where(F.col("h60") == F.col("h60_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash32(docs: DataFrame, text: str = "text") -> DataFrame:
+    """32-bit SimHash over word occurrences: explode words → one 32-bit
+    md5-derived hash per word → hash-aggregate with 32 conditional ±1 sums
+    (whole-stage codegen, partial agg map-side) → fingerprint from the vote
+    signs. bit b is set iff Σ_words(±1 on bit b) > 0."""
+    w = docs.select("doc_id", F.explode(words_col(text)).alias("word"))
+    w = w.select("doc_id", _h32(F.col("word")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    sim = sum(
+        [
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(SIMHASH_BITS)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text: str = "text", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs, scalably: split the 32-bit fingerprint into 4
+    bands of 8 bits; hamming ≤ 3 guarantees ≥1 identical band (pigeonhole),
+    so the join key is (band_id, band_value) — never a cross join. Verify
+    with ``bit_count(xor)``."""
+    s = simhash32(docs, text)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    bandv = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = s.select("doc_id", "simhash", F.explode(bandv).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band_id").alias("band_id"), F.col("bk.band_val").alias("band_val")
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band_id", "band_val")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band_id", "band_val")
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -115,6 +115,29 @@ def score_series(
     return out, carry_out
 
 
+def ewma_over(
+    df: DataFrame, key: str, order_col: str, value: str, lam: float = 0.1
+) -> DataFrame:
+    """EWMA-smoothed metric per key as a standalone continuous aggregate
+    (``alibi_detect/cd/fet_online.py:225-233`` recursion). Non-associative →
+    one sorted Arrow batch per key; at scale keys are sources/types whose
+    series length is bounded by the time range, not the raw row count."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                order_col: pdf[order_col].to_numpy(),
+                "ewma": np.round(ewma(x, lam), 6),
+            }
+        )
+
+    out_schema = f"{key} string, {order_col} long, ewma double"
+    return df.select(key, order_col, value).groupBy(key).applyInPandas(fn, schema=out_schema)
+
+
 def score_rollup(
     rollup: DataFrame,
     value_col: str = "sum_n_tok",

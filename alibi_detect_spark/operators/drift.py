@@ -1,0 +1,258 @@
+"""Batch two-sample drift tests as Spark-native relational plans.
+
+The reference computes these per-feature in NumPy/scipy over in-memory arrays
+(``alibi_detect/cd/ks.py:80-102``, ``cd/cvm.py:78-99``, ``cd/chisquare.py:101-133``,
+``cd/pytorch/mmd.py:105-145``). Here each test is a declarative DataFrame plan
+— groupBy + window cumulative counts — so Catalyst handles partial aggregation,
+AQE, and pushdown; nothing leaves the JVM. Each plan is shuffled ONCE by the
+test key: at 100 TB a per-key two-sample test is a single hash-partitioned
+pass, never a driver collect.
+
+Numeric parity contract: every statistic is derived from exact integer counts
+(cumulative ECDF counts, contingency cells, rank sums over midranks that are
+exact in binary); the only float ops are final divisions/exp, applied in the
+same order as the SQL oracle, then rounded — so DuckDB value-hash comparison
+is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+KS_SF_TERMS = 100
+
+
+def kolmogorov_sf_col(t: Column) -> Column:
+    """Asymptotic Kolmogorov survival function as a Column expression:
+    ``Q(t) = 2 Σ_{k=1..K} (−1)^{k−1} exp(−2 k² t²)`` (``functions/ks.py``
+    NumPy twin). Expressed with ``aggregate(sequence(...))`` so the oracle SQL
+    (``list_sum(list_transform(generate_series(...)))``) adds terms in the
+    identical k-order."""
+    term = lambda k: (  # noqa: E731
+        F.lit(2.0)
+        * F.pow(F.lit(-1.0), k - 1)
+        * F.exp(F.lit(-2.0) * k.cast("double") * k.cast("double") * t * t)
+    )
+    s = F.aggregate(
+        F.sequence(F.lit(1), F.lit(KS_SF_TERMS)),
+        F.lit(0.0),
+        lambda acc, k: acc + term(k),
+    )
+    return F.when(t <= 0, F.lit(1.0)).otherwise(F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0)))
+
+
+def _ecdf_counts(df: DataFrame, key: str, value: str, sample: str) -> DataFrame:
+    """Collapse to one row per (key, value) with per-sample tie counts, then
+    cumulative counts along the value axis. One shuffle on (key, value), one
+    sort per key partition — the minimal plan for any ECDF statistic."""
+    g = (
+        df.groupBy(key, value)
+        .agg(
+            F.sum(F.when(F.col(sample) == "ref", 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col(sample) != "ref", 1).otherwise(0)).alias("c_test"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(value).rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.partitionBy(key)
+    return (
+        g.withColumn("cum_ref", F.sum("c_ref").over(w))
+        .withColumn("cum_test", F.sum("c_test").over(w))
+        .withColumn("n_ref", F.sum("c_ref").over(wk))
+        .withColumn("n_test", F.sum("c_test").over(wk))
+    )
+
+
+def ks_2samp(df: DataFrame, key: str, value: str, sample: str = "sample") -> DataFrame:
+    """Two-sided two-sample KS per key group, with asymptotic p-value.
+
+    Spark-native recast of ``alibi_detect/cd/ks.py:101`` (there:
+    ``scipy.stats.ks_2samp``): D = sup over pooled points of
+    |ECDF_ref − ECDF_test|, p = Q(D·sqrt(nm/(n+m))). ECDFs are
+    right-continuous so evaluating at the distinct pooled values is exact.
+    """
+    e = _ecdf_counts(df, key, value, sample)
+    d = (
+        e.select(
+            key,
+            "n_ref",
+            "n_test",
+            F.abs(
+                F.col("cum_ref") / F.col("n_ref") - F.col("cum_test") / F.col("n_test")
+            ).alias("diff"),
+        )
+        .groupBy(key, "n_ref", "n_test")
+        .agg(F.max("diff").alias("d_raw"))
+    )
+    en = F.sqrt(F.col("n_ref") * F.col("n_test") / (F.col("n_ref") + F.col("n_test")))
+    return d.select(
+        key,
+        F.col("n_ref").alias("n_ref"),
+        F.col("n_test").alias("n_test"),
+        F.round("d_raw", 9).alias("ks_stat"),
+        F.round(kolmogorov_sf_col(en * F.col("d_raw")), 9).alias("p_value"),
+    )
+
+
+def cvm_2samp(df: DataFrame, key: str, value: str, sample: str = "sample") -> DataFrame:
+    """Two-sample Cramér–von Mises per key (``alibi_detect/cd/cvm.py:78-99``,
+    there scipy ``cramervonmises_2samp``). Rank form (Anderson 1962):
+
+        U = n·Σᵢ(rₓᵢ − i)² + m·Σⱼ(r_yⱼ − j)²,   T = U/(nm(n+m)) − (4mn−1)/(6(m+n))
+
+    with midranks for ties (ties have exact .5 binary representation, so the
+    rank sums are exact integers/halves → bit-stable across engines).
+    """
+    e = _ecdf_counts(df, key, value, sample)
+    # midrank of a tied block ending at cum_all: cum_all_before + (ties+1)/2
+    e = e.withColumn("ties", F.col("c_ref") + F.col("c_test")).withColumn(
+        "midrank",
+        (F.col("cum_ref") + F.col("cum_test")) - (F.col("ties") - 1) / F.lit(2.0),
+    )
+    # within-sample index i for the tied block: runs (cum_s - c_s + 1 .. cum_s).
+    # Σ over the block of (midrank − i)² has closed form:
+    #   c·(midrank − a)² − 2(midrank − a)·Σk + Σk²,  k = 0..c−1, a = cum_s − c_s + 1
+    def block_sq(c: str, cum: str) -> Column:
+        cc = F.col(c).cast("double")
+        a = (F.col(cum) - F.col(c) + 1).cast("double")
+        d0 = F.col("midrank") - a
+        sum_k = cc * (cc - 1) / 2
+        sum_k2 = (cc - 1) * cc * (2 * cc - 1) / 6
+        return cc * d0 * d0 - 2 * d0 * sum_k + sum_k2
+
+    per_key = e.groupBy(key, "n_ref", "n_test").agg(
+        F.sum(block_sq("c_ref", "cum_ref")).alias("sx"),
+        F.sum(block_sq("c_test", "cum_test")).alias("sy"),
+    )
+    n, m = F.col("n_ref").cast("double"), F.col("n_test").cast("double")
+    u = n * F.col("sx") + m * F.col("sy")
+    t_stat = u / (n * m * (n + m)) - (4 * m * n - 1) / (6 * (m + n))
+    return per_key.select(
+        key,
+        F.col("n_ref"),
+        F.col("n_test"),
+        F.round(t_stat, 9).alias("cvm_stat"),
+    )
+
+
+def chi2_contingency(df: DataFrame, feature: str, sample: str = "sample") -> DataFrame:
+    """χ² test of independence between a categorical feature and the sample
+    label (``alibi_detect/cd/chisquare.py:101-133``, there scipy
+    ``chi2_contingency``, correction=False). Pure relational: contingency
+    cells by groupBy, expected from marginals, one output row."""
+    cells = df.groupBy(feature, sample).agg(F.count(F.lit(1)).alias("obs"))
+    tot = cells.agg(F.sum("obs").alias("n")).select("n")
+    row_m = cells.groupBy(feature).agg(F.sum("obs").alias("row_n"))
+    col_m = cells.groupBy(sample).agg(F.sum("obs").alias("col_n"))
+    j = (
+        cells.join(row_m, feature)
+        .join(col_m, sample)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("exp", F.col("row_n") * F.col("col_n") / F.col("n"))
+    )
+    stat = j.agg(
+        F.round(
+            F.sum((F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col("exp")),
+            9,
+        ).alias("chi2_stat"),
+        ((F.count_distinct(F.col(feature)) - 1) * (F.count_distinct(F.col(sample)) - 1)).alias("dof"),
+    )
+    return stat
+
+
+def mmd_2samp(
+    df: DataFrame,
+    value: str,
+    sample: str = "sample",
+    n_per_side: int = 256,
+    sigma: float = 5.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Unbiased MMD² with a Gaussian RBF kernel between two deterministic
+    subsamples (``alibi_detect/cd/pytorch/mmd.py:113-137``; unbiased block
+    sums per ``utils/pytorch/distance.py:96-128``).
+
+    The kernel matrix is a crossJoin of two n≤256 broadcast sides — never a
+    full-data O(N²); at 100 TB the subsample step (ordered head per side) is
+    the only full scan. σ is fixed (config) rather than median-heuristic so
+    the statistic is a closed-form function of the sample — the heuristic
+    variant lives in the online detector (``functions/mmd.py``).
+    """
+    oc = order_col or value
+    w = Window.partitionBy("s").orderBy("o")
+    sub = (
+        df.select(F.col(sample).alias("s"), F.col(value).cast("double").alias("v"), F.col(oc).alias("o"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_side)
+    )
+    a = sub.select(F.col("s").alias("sa"), F.col("v").alias("va"), F.col("rn").alias("ia"))
+    b = sub.select(F.col("s").alias("sb"), F.col("v").alias("vb"), F.col("rn").alias("ib"))
+    gamma = 1.0 / (2.0 * sigma * sigma)
+    pairs = (
+        a.join(F.broadcast(b))
+        .withColumn("k", F.exp(F.lit(-gamma) * (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))))
+    )
+    agg = pairs.agg(
+        F.sum(F.when((F.col("sa") == "ref") & (F.col("sb") == "ref") & (F.col("ia") != F.col("ib")), F.col("k")).otherwise(0.0)).alias("kxx"),
+        F.sum(F.when((F.col("sa") != "ref") & (F.col("sb") != "ref") & (F.col("ia") != F.col("ib")), F.col("k")).otherwise(0.0)).alias("kyy"),
+        F.sum(F.when((F.col("sa") == "ref") & (F.col("sb") != "ref"), F.col("k")).otherwise(0.0)).alias("kxy"),
+        F.sum(F.when((F.col("sa") == "ref") & (F.col("sb") == "ref"), 1).otherwise(0)).alias("nn"),
+        F.sum(F.when((F.col("sa") != "ref") & (F.col("sb") != "ref"), 1).otherwise(0)).alias("mm"),
+        F.sum(F.when((F.col("sa") == "ref") & (F.col("sb") != "ref"), 1).otherwise(0)).alias("nm"),
+    )
+    n = F.sqrt(F.col("nn").cast("double"))
+    m = F.sqrt(F.col("mm").cast("double"))
+    mmd2 = (
+        F.col("kxx") / (n * (n - 1)) + F.col("kyy") / (m * (m - 1)) - 2 * F.col("kxy") / F.col("nm")
+    )
+    return agg.select(
+        n.cast("long").alias("n_ref"),
+        m.cast("long").alias("n_test"),
+        F.round(mmd2, 6).alias("mmd2"),
+    )
+
+
+def mahalanobis_scores(
+    df: DataFrame, cols: tuple[str, str], id_cols: list[str], top_k: int = 100
+) -> DataFrame:
+    """Batch Mahalanobis outlier score over two features with a closed-form
+    2×2 population-covariance inverse (``alibi_detect/od/_mahalanobis.py:74-89``
+    semantics: fit mean/cov on the full batch, score = quadratic form).
+
+    All moments come from one partial+final aggregate pass (no collect); the
+    quadratic form is whole-stage-codegen column math. The raw moments are
+    accumulated in DECIMAL (exact under any aggregation order, so the fitted
+    mean/cov — and therefore every score — is bit-identical between the
+    distributed run and the oracle); top-k ordered by the ROUNDED score + ids
+    so ranking is reproducible across engines.
+    """
+    x, y = cols
+    dx_in = F.col(x).cast("decimal(18,4)")
+    dy_in = F.col(y).cast("decimal(18,4)")
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx_in).cast("double").alias("sx"),
+        F.sum(dy_in).cast("double").alias("sy"),
+        F.sum(dx_in * dx_in).cast("double").alias("sxx_r"),
+        F.sum(dy_in * dy_in).cast("double").alias("syy_r"),
+        F.sum(dx_in * dy_in).cast("double").alias("sxy_r"),
+    ).select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sxx_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("sxx"),
+        (F.col("syy_r") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("syy"),
+        (F.col("sxy_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("sxy"),
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    det = F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")
+    dx = F.col(x).cast("double") - F.col("mx")
+    dy = F.col(y).cast("double") - F.col("my")
+    score = (F.col("syy") * dx * dx - 2 * F.col("sxy") * dx * dy + F.col("sxx") * dy * dy) / det
+    scored = j.select(*id_cols, F.round(score, 6).alias("maha_score"))
+    # orderBy+limit → TakeOrderedAndProject: a distributed per-partition top-k
+    # + tiny driver merge, NOT a global sort. row_number runs on k rows only.
+    order = [F.col("maha_score").desc(), *[F.col(c) for c in id_cols]]
+    top = scored.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        *id_cols, "maha_score", "rank"
+    )

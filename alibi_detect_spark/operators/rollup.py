@@ -117,6 +117,99 @@ def downsample(rollup: DataFrame, from_tier: str, to_tier: str) -> DataFrame:
     )
 
 
+def metric_rollup(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value: str,
+    tier: str = "1h",
+) -> DataFrame:
+    """Generic tier-1 rollup of an arbitrary (key, ts, value) stream — the
+    same plan shape as :func:`rollup_tier1` but over a float metric. The sum
+    uses DECIMAL(18,2) accumulation: exact under any aggregation order, so
+    distributed == oracle bit-for-bit (then presented as double)."""
+    secs = TIER_SECONDS[tier]
+    dec = F.col(value).cast("decimal(18,2)")
+    return (
+        df.select(F.col(key), _bucket_col(ts_col, secs).alias("bucket_ts"), dec.alias("v"))
+        .groupBy(key, "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("sum_dec"),
+            F.min("v").alias("min_dec"),
+            F.max("v").alias("max_dec"),
+        )
+        .select(
+            key,
+            "bucket_ts",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            F.col("min_dec").cast("double").alias("min_value"),
+            F.col("max_dec").cast("double").alias("max_value"),
+            F.round(F.col("sum_dec").cast("double") / F.col("n_events"), 6).alias("avg_value"),
+        )
+    )
+
+
+def metric_downsample(rollup: DataFrame, key: str, from_tier: str, to_tier: str) -> DataFrame:
+    """Cascade a generic metric rollup to a coarser tier (reads tier-sized
+    data, never the raw table). count/sum/min/max compose exactly; avg is
+    recomputed from the composed sums."""
+    secs = TIER_SECONDS[to_tier]
+    assert secs % TIER_SECONDS[from_tier] == 0, "tiers must nest"
+    return (
+        rollup.select(
+            key,
+            (F.floor(F.col("bucket_ts") / secs) * secs).cast("long").alias("bucket_ts"),
+            "n_events",
+            F.col("sum_value").cast("decimal(18,2)").alias("sum_dec"),
+            F.col("min_value").cast("decimal(18,2)").alias("min_dec"),
+            F.col("max_value").cast("decimal(18,2)").alias("max_dec"),
+        )
+        .groupBy(key, "bucket_ts")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_dec").alias("min_dec"),
+            F.max("max_dec").alias("max_dec"),
+        )
+        .select(
+            key,
+            "bucket_ts",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            F.col("min_dec").cast("double").alias("min_value"),
+            F.col("max_dec").cast("double").alias("max_value"),
+            F.round(F.col("sum_dec").cast("double") / F.col("n_events"), 6).alias("avg_value"),
+        )
+    )
+
+
+def metric_gapfill(rollup: DataFrame, key: str, tier: str = "1h") -> DataFrame:
+    """Generic gap-fill twin of :func:`..gapfill.gapfill` for metric rollups:
+    per-key bucket grid via ``sequence + explode``, zero-filled counts/sums,
+    null min/max/avg, explicit ``gapfilled`` flag."""
+    secs = TIER_SECONDS[tier]
+    grid = (
+        rollup.groupBy(key)
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            key,
+            F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(secs))).alias("bucket_ts"),
+        )
+    )
+    return grid.join(rollup, [key, "bucket_ts"], "left").select(
+        key,
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        "min_value",
+        "max_value",
+        "avg_value",
+        F.col("n_events").isNull().alias("gapfilled"),
+    )
+
+
 def token_invariant_check(raw: DataFrame) -> DataFrame:
     """Per-row token-array equality invariant (input_hint): a pass-through
     projection must preserve ``tokens`` exactly. Returns rows that VIOLATE the

@@ -41,9 +41,12 @@ def run_pipeline(
         metrics[stage] = time.monotonic() - t0
         return out
 
-    t1 = rollup_tier1(raw, "1h", salted=salted)
+    # persist the (tier-sized, bounded: sources × buckets) rollup so the
+    # gap-fill grid agg + left join don't recompute the raw scan twice
+    t1 = rollup_tier1(raw, "1h", salted=salted).persist()
     t1f = gapfill(t1, "1h")
     timed("tier_1h", lambda: cat.write_rollup(t1f, "rollup_1h"))
+    t1.unpersist()
     t1f = cat.read(spark, "rollup_1h")
     log.record("rollup", "1h", "raw", t1f.count(), metrics={"sec": metrics["tier_1h"]})
 

@@ -1,0 +1,125 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Two parts:
+1. **Headline** (BASELINE.json metric): rolled-up points/sec through the full
+   tier pipeline (tier-1 rollup → gap-fill → 6h/1d downsample → Gorilla-page
+   encode → parquet tier tables) over the deterministic synthetic token table.
+2. **Query suite**: wall seconds per entry for the representative operator
+   queries from ``__spark_entry__`` at ``$SPARK_GRAFT_SF_DIR``.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default all cores), SPARK_GRAFT_BENCH_ROWS (default 2M).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "rollup_1h_events",
+    "rollup_1d_cascade",
+    "gapfill_1h_events",
+    "token_rollup_1h",
+    "ewma_hourly_counts",
+    "ks_drift",
+    "cvm_drift",
+    "chi2_drift",
+    "mmd_drift",
+    "mahalanobis_topk",
+    "knn_outlier",
+    "sr_saliency",
+    "mmd_online",
+    "dedup_exact_prefix",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+    "fingerprint",
+    "quantile_thresholds",
+    "tpch_q1",
+]
+
+
+def materialize(df) -> int:
+    """Force full execution of every output column (noop sink, no driver
+    collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", 2_000_000))
+
+    import __spark_entry__ as E
+    from alibi_detect_spark.pipeline import run_synthetic
+    from alibi_detect_spark.session import get_spark
+
+    spark = get_spark("adspark-bench")
+
+    # warm the JVM + python-worker pool so the headline measures steady-state
+    # throughput, not process spawn
+    spark.range(0, 1_000_000).mapInPandas(lambda it: it, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # --- headline: tier pipeline points/sec over the synthetic token table ---
+    wh = tempfile.mkdtemp(prefix="adspark_bench_wh_")
+    try:
+        t0 = time.monotonic()
+        out = run_synthetic(spark, n_rows, wh, n_sources=32, rows_per_bucket=512)
+        points = sum(out["tiers"][t].count() for t in out["tiers"])
+        n_pages = out["pages"].count()
+        pipeline_sec = time.monotonic() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+    # --- operator query suite at the requested scale factor ---
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.monotonic()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()) + pipeline_sec, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "tier rollup+gapfill+downsample+Gorilla-encode pipeline"
+                " + operator query suite (see queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline": {
+                    "rows_in": n_rows,
+                    "rollup_points": points,
+                    "pages": n_pages,
+                    "sec": round(pipeline_sec, 3),
+                    "points_per_sec": round(points / pipeline_sec, 1),
+                    "raw_rows_per_sec": round(n_rows / pipeline_sec, 1),
+                    "stage_seconds": {k: round(v, 3) for k, v in out["metrics"].items()},
+                },
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
