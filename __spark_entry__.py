@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from alibi_detect_spark.operators import ann, dedup, drift, textstats  # noqa: E402
-from alibi_detect_spark.operators.detect import ewma_over, score_rollup  # noqa: E402
+from alibi_detect_spark.operators.detect import (  # noqa: E402
+    cvm_online_over,
+    ewma_over,
+    fet_online_over,
+    score_rollup,
+)
 from alibi_detect_spark.operators.gapfill import gapfill  # noqa: E402
 from alibi_detect_spark.operators.rollup import (  # noqa: E402
     metric_downsample,
@@ -188,6 +193,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("mmd_threshold", 6).alias("mmd_threshold"),
             "mmd_is_drift",
         )
+    )
+
+    q["fet_online"] = lambda s, sf: fet_online_over(
+        _t(s, sf, "events").select(
+            "event_type",
+            F.col("event_id").alias("seq"),
+            (F.col("value") >= 10.0).cast("int").alias("bit"),
+        ),
+        "event_type",
+        "seq",
+        "bit",
+    )
+    q["cvm_online"] = lambda s, sf: cvm_online_over(
+        metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
+        "event_type",
+        "bucket_ts",
+        "avg_value",
     )
 
     # --- dedup family ----------------------------------------------------

@@ -138,6 +138,91 @@ def ewma_over(
     return df.select(key, order_col, value).groupBy(key).applyInPandas(fn, schema=out_schema)
 
 
+def fet_online_over(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    bit_col: str,
+    ert: float = 100.0,
+    window_size: int = 15,
+    n_ref: int = 200,
+    n_bootstraps: int = 1500,
+    base_seed: int = 42,
+) -> DataFrame:
+    """Online Fisher-exact drift over a per-key Bernoulli stream
+    (``cd/fet_online.py``): ref = first ``n_ref`` bits, seeded per-key fit on
+    the executor (deterministic: seed is a function of the key, not task
+    order), EWMA-smoothed window p-value stats vs conditional thresholds."""
+    from ..functions.fet import OnlineFET
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        k = pdf[key].iloc[0]
+        bits = pdf[bit_col].to_numpy(dtype=np.int64)
+        n = len(bits)
+        out = pd.DataFrame({key: pdf[key].to_numpy(), order_col: pdf[order_col].to_numpy()})
+        if n <= n_ref + window_size or not 0 < bits[:n_ref].sum() < n_ref:
+            out["fet_stat"] = np.nan
+            out["fet_threshold"] = np.nan
+            out["fet_is_drift"] = np.int32(0)
+            return out
+        det = OnlineFET.fit(
+            bits[:n_ref], ert=ert, window_size=window_size,
+            n_bootstraps=n_bootstraps, seed=source_seed(str(k), base_seed),
+        )
+        stats, thr, drift, _ = det.score_stream(bits[n_ref:])
+        pad = np.full(n_ref, np.nan)
+        out["fet_stat"] = np.concatenate([pad, stats])
+        out["fet_threshold"] = np.concatenate([pad, thr])
+        out["fet_is_drift"] = np.concatenate([np.zeros(n_ref, dtype=np.int32), drift]).astype(np.int32)
+        return out
+
+    schema = f"{key} string, {order_col} long, fet_stat double, fet_threshold double, fet_is_drift int"
+    return df.select(key, order_col, bit_col).groupBy(key).applyInPandas(fn, schema=schema)
+
+
+def cvm_online_over(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    ert: float = 50.0,
+    window_size: int = 10,
+    n_ref: int = 100,
+    n_bootstraps: int = 400,
+    base_seed: int = 42,
+) -> DataFrame:
+    """Online Cramér–von Mises drift over a per-key metric series
+    (``cd/cvm_online.py``): distribution-free thresholds simulated at fit
+    time per key (seeded), sliding-window rank stats vs the reference."""
+    from ..functions.cvm import OnlineCVM
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        k = pdf[key].iloc[0]
+        x = pdf[value].to_numpy(dtype=np.float64)
+        n = len(x)
+        out = pd.DataFrame({key: pdf[key].to_numpy(), order_col: pdf[order_col].to_numpy()})
+        if n <= n_ref + window_size:
+            out["cvm_stat"] = np.nan
+            out["cvm_threshold"] = np.nan
+            out["cvm_is_drift"] = np.int32(0)
+            return out
+        det = OnlineCVM.fit(
+            x[:n_ref], ert=ert, window_size=window_size,
+            n_bootstraps=n_bootstraps, seed=source_seed(str(k), base_seed),
+        )
+        stats, thr, drift, _ = det.score_stream(x[n_ref:])
+        pad = np.full(n_ref, np.nan)
+        out["cvm_stat"] = np.concatenate([pad, stats])
+        out["cvm_threshold"] = np.concatenate([pad, thr])
+        out["cvm_is_drift"] = np.concatenate([np.zeros(n_ref, dtype=np.int32), drift]).astype(np.int32)
+        return out
+
+    schema = f"{key} string, {order_col} long, cvm_stat double, cvm_threshold double, cvm_is_drift int"
+    return df.select(key, order_col, value).groupBy(key).applyInPandas(fn, schema=schema)
+
+
 def score_rollup(
     rollup: DataFrame,
     value_col: str = "sum_n_tok",

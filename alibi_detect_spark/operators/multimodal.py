@@ -1,0 +1,205 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The real decoders (PIL/ffmpeg/torchaudio) are NOT in this environment, so the
+decode step is STUBBED: ``decode_payload`` raises ``NotImplementedError`` for
+real codecs and provides a deterministic fake decoder (payload bytes →
+uint8 tensor of the metadata's shape) so the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape, feature math — is real and tested.
+Swapping in a real codec is a one-function change inside the UDF closure.
+
+Scale posture: payloads never shuffle — every stage is a map pass emitting
+small fixed-width features; the only shuffle is the optional groupBy in
+:func:`media_stats`. Arrow batch size bounds executor memory
+(``spark.sql.execution.arrow.maxRecordsPerBatch``), the natural knob when a
+row carries megabytes of payload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("channels", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def decode_payload(payload: bytes, kind: str, meta: dict) -> np.ndarray:
+    """STUB decoder. Real codecs are unavailable in this container; a real
+    deployment replaces the fake branch with PIL/soundfile/ffmpeg decode.
+
+    Fake decode: interpret the payload bytes as the row-major uint8 tensor of
+    the declared shape (deterministic, shape-checked) — enough to exercise
+    every downstream stage for real."""
+    try:  # pragma: no cover - the real-decoder path needs external libs
+        if kind == "image":
+            import PIL  # noqa: F401
+
+            raise NotImplementedError("real image decode: wire PIL.Image.open here")
+        if kind == "audio":
+            import soundfile  # noqa: F401
+
+            raise NotImplementedError("real audio decode: wire soundfile.read here")
+    except ImportError:
+        pass
+    _i = lambda k: int(meta[k])  # noqa: E731 — Arrow structs with nulls may surface ints as floats
+    if kind == "image":
+        shape = (_i("height"), _i("width"), _i("channels"))
+    elif kind == "audio":
+        shape = (_i("n_frames"),)
+    elif kind == "video":
+        shape = (_i("n_frames"), _i("height"), _i("width"), _i("channels"))
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
+    need = int(np.prod(shape))
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if buf.size < need:
+        raise ValueError(f"payload too short for declared shape {shape}")
+    return buf[:need].reshape(shape)
+
+
+def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (mix64-derived payload bytes)."""
+    from ..synth import mix64
+
+    kinds = np.array(["image", "audio", "video"])
+
+    def gen(batches):
+        for pdf in batches:
+            i = pdf["id"].to_numpy().astype(np.int64)
+            h = mix64(i.view(np.uint64) ^ np.uint64(seed))
+            kind = kinds[(h % np.uint64(3)).astype(int)]
+            rows = []
+            for idx, k, hh in zip(i, kind, h):
+                if k == "image":
+                    w, ht, c = 8 + int(hh % np.uint64(8)), 8, 3
+                    meta = (w, ht, c, None, None)
+                    size = w * ht * c
+                elif k == "audio":
+                    nf = 64 + int(hh % np.uint64(64))
+                    meta = (None, None, None, 16_000, nf)
+                    size = nf
+                else:
+                    w, ht, c, nf = 4, 4, 3, 2 + int(hh % np.uint64(3))
+                    meta = (w, ht, c, None, nf)
+                    size = nf * ht * w * c
+                reps = (size + 7) // 8
+                payload = mix64(np.arange(reps, dtype=np.uint64) ^ hh).tobytes()[:size]
+                rows.append((f"m-{idx:08d}", k, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(0, n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """decode → per-item feature vector (mean/std/min/max + hash-projection
+    embedding), one Arrow batch at a time. Emits fixed-width columns only —
+    the binary payload is dropped before anything shuffles."""
+
+    def fn(batches):
+        for pdf in batches:
+            feats = np.zeros((len(pdf), FEATURE_DIM), dtype=np.float64)
+            means = np.zeros(len(pdf))
+            stds = np.zeros(len(pdf))
+            for r in range(len(pdf)):
+                arr = decode_payload(
+                    bytes(pdf["payload"].iloc[r]), pdf["kind"].iloc[r], pdf["meta"].iloc[r]
+                ).astype(np.float64)
+                means[r] = arr.mean()
+                stds[r] = arr.std()
+                flat = arr.ravel()
+                # deterministic hash-projection embedding: FEATURE_DIM strided sums
+                for d in range(FEATURE_DIM):
+                    feats[r, d] = flat[d::FEATURE_DIM].sum() % 997.0
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "mean_val": np.round(means, 6),
+                    "std_val": np.round(stds, 6),
+                    "embedding": list(feats),
+                }
+            )
+
+    schema = "media_id string, kind string, mean_val double, std_val double, embedding array<double>"
+    return media.mapInPandas(fn, schema=schema)
+
+
+def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """decode → nearest-neighbor resize → re-encode to binary. Shows the
+    payload-in/payload-out stage shape (the pattern for any transcode)."""
+
+    def fn(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if not len(pdf):
+                continue
+            out = []
+            for r in range(len(pdf)):
+                meta = pdf["meta"].iloc[r]
+                arr = decode_payload(bytes(pdf["payload"].iloc[r]), "image", meta)
+                ys = (np.arange(out_h) * arr.shape[0] // out_h)
+                xs = (np.arange(out_w) * arr.shape[1] // out_w)
+                small = arr[np.ix_(ys, xs)]
+                out.append((pdf["media_id"].iloc[r], small.tobytes(), out_w, out_h, arr.shape[2]))
+            yield pd.DataFrame(out, columns=["media_id", "payload", "width", "height", "channels"])
+
+    schema = "media_id string, payload binary, width int, height int, channels int"
+    return media.mapInPandas(fn, schema=schema)
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Video frame sampling: decode → take every k-th frame → one row per
+    sampled frame (explode happens POST-decode, map-side)."""
+
+    def fn(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            if not len(pdf):
+                continue
+            ids, fidx, frames = [], [], []
+            for r in range(len(pdf)):
+                meta = pdf["meta"].iloc[r]
+                arr = decode_payload(bytes(pdf["payload"].iloc[r]), "video", meta)
+                for j in range(0, arr.shape[0], every):
+                    ids.append(pdf["media_id"].iloc[r])
+                    fidx.append(j)
+                    frames.append(arr[j].tobytes())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": fidx, "frame": frames})
+
+    return media.mapInPandas(fn, schema="media_id string, frame_idx int, frame binary")
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-kind payload statistics — pure column math on metadata, no decode."""
+    return (
+        media.select("kind", F.length("payload").alias("nbytes"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("nbytes").alias("total_bytes"),
+            F.min("nbytes").alias("min_bytes"),
+            F.max("nbytes").alias("max_bytes"),
+        )
+    )

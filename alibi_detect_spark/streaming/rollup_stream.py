@@ -1,0 +1,149 @@
+"""Streaming tier rollup + stateful EWMA (Structured Streaming).
+
+Late data: the reference assumes a strictly ordered stream and has no late
+handling (SURVEY §2.6); here the watermark makes that contract explicit —
+rows later than ``watermark_delay`` are dropped, and a (source, bucket) row
+is emitted exactly once when its window closes. The checkpoint directory
+carries all rollup state, so a killed job resumes mid-stream with no
+recomputation and no duplicates (exactly-once file sink).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..schemas import TIER_SECONDS
+
+
+def stream_rollup(
+    spark: SparkSession,
+    input_path: str,
+    tier: str = "1h",
+    watermark_delay: str = "1 minute",
+    max_files_per_trigger: int | None = None,
+    schema=None,
+) -> DataFrame:
+    """Tier-1 rollup as a streaming aggregation over a parquet file source.
+
+    Same aggregate set as the batch :func:`..operators.rollup.rollup_tier1`
+    (integer stats → order-independent → equals the batch/oracle result for
+    every emitted window). Append output mode: a row per (source, bucket)
+    exactly once, after the watermark passes the window end.
+    """
+    secs = TIER_SECONDS[tier]
+    if schema is None:
+        schema = "doc_id string, n_tok int, source string, event_ts timestamp"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(input_path)
+    agg = (
+        raw.withWatermark("event_ts", watermark_delay)
+        .groupBy("source", F.window("event_ts", f"{secs} seconds").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("sum_n_tok"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+        )
+        .select(
+            "source",
+            F.unix_timestamp(F.col("win.start")).alias("bucket_ts"),
+            "n_docs",
+            "sum_n_tok",
+            "min_n_tok",
+            "max_n_tok",
+            (F.col("sum_n_tok") / F.col("n_docs")).alias("mean_n_tok"),
+        )
+    )
+    return agg
+
+
+def run_stream_rollup_once(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+    tier: str = "1h",
+    watermark_delay: str = "1 minute",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all available input with ``trigger(availableNow)`` and stop —
+    the batch-ish harness for tests and backfills; a production run uses the
+    same query with a continuous trigger."""
+    agg = stream_rollup(spark, input_path, tier, watermark_delay, max_files_per_trigger)
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("bucket_ts", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("carry", DoubleType()), StructField("last_ts", LongType())]
+)
+
+
+def ewma_stream(
+    rollup: DataFrame, lam: float = 0.1, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Custom stateful streaming operator: per-source EWMA with the carry in
+    the state store (``applyInPandasWithState``), the streaming twin of
+    :func:`..operators.detect.ewma_over`. Exactness contract: within a
+    micro-batch rows are sorted by ``bucket_ts``; across micro-batches the
+    carry reproduces the uninterrupted recursion as long as batches arrive in
+    time order (true for the append-mode rollup upstream, whose emissions are
+    watermark-ordered)."""
+    from ..functions.ewma import ewma
+
+    def fn(key, pdf_iter, state):
+        (source,) = key
+        if state.exists:
+            carry, last_ts = state.get
+        else:
+            carry, last_ts = None, -1
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+            pdf = pdf[pdf["bucket_ts"] > last_ts]
+            if not len(pdf):
+                continue
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            out = ewma(x, lam, carry=carry)
+            carry = float(out[-1])
+            last_ts = int(pdf["bucket_ts"].iloc[-1])
+            yield pd.DataFrame(
+                {
+                    "source": source,
+                    "bucket_ts": pdf["bucket_ts"].to_numpy(dtype=np.int64),
+                    "ewma": out,
+                }
+            )
+        state.update((carry if carry is not None else float("nan"), last_ts))
+
+    return rollup.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

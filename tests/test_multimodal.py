@@ -1,0 +1,61 @@
+"""Multimodal plumbing: schema, batch shapes, decode-stub determinism, and
+stage outputs across image/audio/video kinds."""
+
+import numpy as np
+
+from alibi_detect_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_payload,
+    extract_features,
+    media_stats,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+
+N = 300
+
+
+def test_synth_media_deterministic(spark):
+    a = synth_media(spark, N).toPandas().sort_values("media_id").reset_index(drop=True)
+    b = synth_media(spark, N, seed=42).toPandas().sort_values("media_id").reset_index(drop=True)
+    assert (a["media_id"] == b["media_id"]).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["payload"], b["payload"]))
+    assert set(a["kind"]) == {"image", "audio", "video"}
+
+
+def test_decode_shapes(spark):
+    pdf = synth_media(spark, 60).toPandas()
+    for _, row in pdf.iterrows():
+        arr = decode_payload(bytes(row["payload"]), row["kind"], row["meta"])
+        if row["kind"] == "image":
+            assert arr.shape == (row["meta"]["height"], row["meta"]["width"], row["meta"]["channels"])
+        elif row["kind"] == "audio":
+            assert arr.shape == (row["meta"]["n_frames"],)
+        else:
+            assert arr.ndim == 4
+
+
+def test_extract_features(spark):
+    m = synth_media(spark, N)
+    f = extract_features(m).toPandas()
+    assert len(f) == N
+    assert all(len(e) == FEATURE_DIM for e in f["embedding"])
+    assert (f["std_val"] >= 0).all()
+
+
+def test_resize_and_frames(spark):
+    m = synth_media(spark, N)
+    r = resize_images(m).toPandas()
+    assert (r["width"] == 4).all() and (r["height"] == 4).all()
+    assert all(len(bytes(p)) == 4 * 4 * 3 for p in r["payload"])
+    fr = sample_frames(m, every=2).toPandas()
+    assert (fr["frame_idx"] % 2 == 0).all()
+    assert all(len(bytes(p)) == 4 * 4 * 3 for p in fr["frame"])
+
+
+def test_media_stats(spark):
+    s = media_stats(synth_media(spark, N)).toPandas()
+    assert set(s["kind"]) == {"image", "audio", "video"}
+    assert int(s["n_items"].sum()) == N
+    assert (s["min_bytes"] <= s["max_bytes"]).all()

@@ -1,0 +1,113 @@
+"""Behavioral tests for the online FET / CVM detectors, mirroring the
+reference's test strategy (``alibi_detect/cd/tests/test_cvm_online.py:19-62``,
+``test_fet_online.py``): ERT calibration under H0, fast detection under H1,
+and chunked scoring with carried state reproducing the unchunked trajectory
+bit-for-bit (the resume contract)."""
+
+import numpy as np
+import pytest
+
+from alibi_detect_spark.functions.cvm import OnlineCVM
+from alibi_detect_spark.functions.fet import OnlineFET, hypergeom_sf_ge
+
+ERT = 40.0
+
+
+def test_hypergeom_sf_basic():
+    # P[X >= 0] = 1; P[X >= N+1] = 0; monotone decreasing in k
+    m, K, n = 30, 12, 8
+    ks = np.arange(0, n + 2)
+    sf = hypergeom_sf_ge(ks, m, np.full_like(ks, K), n)
+    assert sf[0] == pytest.approx(1.0)
+    assert sf[-1] == pytest.approx(0.0, abs=1e-12)
+    assert np.all(np.diff(sf) <= 1e-12)
+    # against a closed form: P[X >= n] for K >= n is C(K,n)/C(m,n)
+    import math
+
+    want = math.comb(K, n) / math.comb(m, n)
+    assert sf[-2] == pytest.approx(want, rel=1e-10)
+
+
+@pytest.fixture(scope="module")
+def fet_det():
+    rng = np.random.default_rng(0)
+    x_ref = (rng.random(400) < 0.3).astype(int)
+    return OnlineFET.fit(x_ref, ert=ERT, window_size=15, n_bootstraps=1500, seed=1)
+
+
+def test_fet_ert_h0(fet_det):
+    rng = np.random.default_rng(2)
+    runs = []
+    for _ in range(60):
+        xs = (rng.random(int(6 * ERT)) < 0.3).astype(int)
+        _, _, drift, _ = fet_det.score_stream(xs)
+        hit = np.argmax(drift) if drift.any() else len(drift)
+        runs.append(hit + 1)
+    art = float(np.mean(runs))
+    assert ERT / 3 < art < 3 * ERT, art
+
+
+def test_fet_detects_h1(fet_det):
+    rng = np.random.default_rng(3)
+    adds = []
+    for _ in range(20):
+        xs = (rng.random(int(2 * ERT)) < 0.85).astype(int)  # strong shift up
+        _, _, drift, _ = fet_det.score_stream(xs)
+        assert drift.any()
+        adds.append(np.argmax(drift) + 1)
+    assert float(np.mean(adds)) < ERT / 2
+
+
+def test_fet_chunked_resume(fet_det):
+    rng = np.random.default_rng(4)
+    xs = (rng.random(100) < 0.3).astype(int)
+    full, thr_f, drift_f, _ = fet_det.score_stream(xs)
+    a, _, _, carry = fet_det.score_stream(xs[:37])
+    b, thr_b, drift_b, _ = fet_det.score_stream(
+        xs[37:], t0=carry["t"], carry=carry["ewma"], warm=carry["tail"]
+    )
+    got = np.concatenate([a, b])
+    assert np.array_equal(got.view(np.uint64), full.view(np.uint64))
+    assert np.array_equal(np.concatenate([thr_f[:37], thr_b]), thr_f)
+
+
+@pytest.fixture(scope="module")
+def cvm_det():
+    rng = np.random.default_rng(5)
+    x_ref = rng.standard_normal(200)
+    return OnlineCVM.fit(x_ref, ert=ERT, window_size=10, n_bootstraps=400, seed=6)
+
+
+def test_cvm_ert_h0(cvm_det):
+    rng = np.random.default_rng(7)
+    runs = []
+    for _ in range(60):
+        xs = rng.standard_normal(int(6 * ERT))
+        _, _, drift, _ = cvm_det.score_stream(xs)
+        hit = np.argmax(drift) if drift.any() else len(drift)
+        runs.append(hit + 1)
+    art = float(np.mean(runs))
+    assert ERT / 3 < art < 3 * ERT, art
+
+
+def test_cvm_detects_h1(cvm_det):
+    rng = np.random.default_rng(8)
+    adds = []
+    for _ in range(20):
+        xs = rng.standard_normal(int(2 * ERT)) + 2.5  # mean shift
+        _, _, drift, _ = cvm_det.score_stream(xs)
+        assert drift.any()
+        adds.append(np.argmax(drift) + 1)
+    assert float(np.mean(adds)) < ERT / 2
+
+
+def test_cvm_chunked_resume(cvm_det):
+    rng = np.random.default_rng(9)
+    xs = rng.standard_normal(80)
+    full, _, _, _ = cvm_det.score_stream(xs)
+    a, _, _, carry = cvm_det.score_stream(xs[:29])
+    b, _, _, _ = cvm_det.score_stream(xs[29:], t0=carry["t"], warm=carry["tail"])
+    got = np.concatenate([a, b])
+    fa = np.nan_to_num(full, nan=-999.0)
+    ga = np.nan_to_num(got, nan=-999.0)
+    assert np.array_equal(ga.view(np.uint64), fa.view(np.uint64))

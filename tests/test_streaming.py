@@ -1,0 +1,119 @@
+"""Structured Streaming: watermarked rollup equals the batch rollup for every
+closed window; checkpoint resume emits the remainder exactly once; stateful
+streaming EWMA bit-matches the NumPy recursion."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from alibi_detect_spark.functions.ewma import ewma
+from alibi_detect_spark.operators.rollup import rollup_tier1
+from alibi_detect_spark.streaming.rollup_stream import (
+    ewma_stream,
+    run_stream_rollup_once,
+)
+from alibi_detect_spark.synth import SynthConfig, synth_batch
+
+
+def _write_batches(tmp, cfg, splits):
+    """Write the synthetic table as consecutive row-index slices (files arrive
+    in time order, like an ingest feed)."""
+    paths = []
+    lo = 0
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    for i, hi in enumerate(splits):
+        pdf = synth_batch(np.arange(lo, hi, dtype=np.int64), cfg, with_tokens=False)
+        p = f"{tmp}/in/part-{i:03d}.parquet"
+        # Spark streams µs timestamps; pandas defaults to ns
+        pdf.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+        paths.append(p)
+        lo = hi
+    return paths
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return SynthConfig(n_rows=40_000, n_sources=4, rows_per_bucket=64)
+
+
+def _read_out(spark, path):
+    df = spark.read.parquet(path).toPandas()
+    return df.sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+
+
+def test_stream_rollup_matches_batch_and_resumes(spark, tmp_path, cfg):
+    tmp = str(tmp_path)
+    _write_batches(tmp, cfg, [20_000])
+
+    run_stream_rollup_once(
+        spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt", watermark_delay="1 minute"
+    )
+    first = _read_out(spark, f"{tmp}/out")
+    assert len(first) > 0
+
+    # batch truth over the first slice
+    raw1 = spark.createDataFrame(
+        synth_batch(np.arange(0, 20_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    batch1 = rollup_tier1(raw1, "1h").toPandas().sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    # append emits only watermark-closed windows: everything except the tail
+    closed1 = batch1[batch1["bucket_ts"] < batch1["bucket_ts"].max()].reset_index(drop=True)
+    got1 = first[["source", "bucket_ts", "n_docs", "sum_n_tok", "min_n_tok", "max_n_tok"]]
+    want1 = closed1[["source", "bucket_ts", "n_docs", "sum_n_tok", "min_n_tok", "max_n_tok"]]
+    pd.testing.assert_frame_equal(got1, want1, check_dtype=False)
+
+    # second slice arrives; SAME checkpoint → resume, no duplicates
+    _write_batches(tmp, cfg, [20_000, 40_000])  # rewrites slice 0 identically + adds slice 1
+    run_stream_rollup_once(
+        spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt", watermark_delay="1 minute"
+    )
+    both = _read_out(spark, f"{tmp}/out")
+    raw = spark.createDataFrame(
+        synth_batch(np.arange(0, 40_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    batch = rollup_tier1(raw, "1h").toPandas().sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    closed = batch[batch["bucket_ts"] < batch["bucket_ts"].max()].reset_index(drop=True)
+    got = both[["source", "bucket_ts", "n_docs", "sum_n_tok", "min_n_tok", "max_n_tok"]]
+    want = closed[["source", "bucket_ts", "n_docs", "sum_n_tok", "min_n_tok", "max_n_tok"]]
+    assert len(got) == len(want), "resume must emit each closed window exactly once"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ewma_stream_bitmatches_recursion(spark, tmp_path, cfg):
+    tmp = str(tmp_path)
+    # feed the BATCH rollup rows as a stream, two files in time order
+    raw = spark.createDataFrame(
+        synth_batch(np.arange(0, 40_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    rollup = rollup_tier1(raw, "1h").toPandas().sort_values(["source", "bucket_ts"])
+    cut = rollup["bucket_ts"].median()
+    os.makedirs(f"{tmp}/rin", exist_ok=True)
+    rollup[rollup["bucket_ts"] <= cut].to_parquet(f"{tmp}/rin/p0.parquet", index=False)
+    rollup[rollup["bucket_ts"] > cut].to_parquet(f"{tmp}/rin/p1.parquet", index=False)
+
+    src = (
+        spark.readStream.schema(
+            "source string, bucket_ts long, n_docs long, sum_n_tok long,"
+            " min_n_tok int, max_n_tok int, mean_n_tok double, gapfilled boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/rin")
+    )
+    out = ewma_stream(src, lam=0.1)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{tmp}/rout")
+        .option("checkpointLocation", f"{tmp}/rckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = _read_out(spark, f"{tmp}/rout")
+
+    for source, grp in rollup.groupby("source"):
+        want = ewma(grp["sum_n_tok"].to_numpy(np.float64), 0.1)
+        g = got[got["source"] == source]["ewma"].to_numpy(np.float64)
+        assert np.array_equal(g.view(np.uint64), want.view(np.uint64)), source
