@@ -87,7 +87,13 @@ def main() -> None:
         from alibi_detect_spark.synth import SynthConfig, synth_dataframe
 
         if not skip_gen:
-            spark = get_spark("scale-gen", parallelism=os.cpu_count())
+            # snappy input: zstd decompress is memory-bandwidth-heavy enough to cap
+            # multi-core scan scaling on one box; snappy keeps the scan CPU-bound
+            spark = get_spark(
+                "scale-gen",
+                parallelism=os.cpu_count(),
+                extra_conf={"spark.sql.parquet.compression.codec": "snappy"},
+            )
             # denser buckets (4096 slots/bucket) so map-side combine genuinely
             # reduces: ~50k groups vs ~750k rows/task → the shuffle carries
             # partials, not the raw stream (the 100 TB-realistic agg shape)
