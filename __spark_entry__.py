@@ -123,6 +123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_rollup_1h"] = lambda s, sf: rollup_tier1(
         _token_table(_t(s, sf, "documents")), "1h"
     )
+    # salted two-stage variant (hot-key skew path) must be value-identical
+    q["token_rollup_1h_salted"] = lambda s, sf: rollup_tier1(
+        _token_table(_t(s, sf, "documents")), "1h", salted=True
+    )
     q["token_invariant"] = lambda s, sf: (
         textstats.tokens_from_text(_t(s, sf, "documents")).agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -195,6 +199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    q["fet_drift"] = lambda s, sf: drift.fet_2samp(
+        _events_labeled(s, sf).withColumn("bit", (F.col("value") >= 10.0).cast("int")),
+        "bit",
+    )
     q["fet_online"] = lambda s, sf: fet_online_over(
         _t(s, sf, "events").select(
             "event_type",
@@ -350,6 +358,28 @@ SELECT source,
        CAST(sum(len(string_split(text,' '))) AS BIGINT) / count(*) AS mean_n_tok,
        false AS gapfilled
 FROM documents GROUP BY 1, 2
+"""
+
+    o["token_rollup_1h_salted"] = o["token_rollup_1h"]
+
+    o["fet_drift"] = """
+WITH lab AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+                    CASE WHEN value >= 10.0 THEN 1 ELSE 0 END AS bit FROM events),
+c AS (SELECT CAST(sum(CASE WHEN s = 'ref' THEN bit ELSE 0 END) AS BIGINT) AS hits_ref,
+             CAST(sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN s <> 'ref' THEN bit ELSE 0 END) AS BIGINT) AS hits_test,
+             CAST(sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      FROM lab)
+SELECT n_ref, n_test, hits_ref, hits_test,
+       round(list_sum(list_transform(
+         generate_series(greatest(hits_ref, hits_ref + hits_test - n_test),
+                         least(hits_ref + hits_test, n_ref)),
+         x -> exp(
+             (lgamma(hits_ref + hits_test + 1) - lgamma(x + 1) - lgamma(hits_ref + hits_test - x + 1))
+           + (lgamma(n_ref + n_test - hits_ref - hits_test + 1) - lgamma(n_ref - x + 1)
+              - lgamma(n_test - hits_ref - hits_test + x + 1))
+           - (lgamma(n_ref + n_test + 1) - lgamma(n_ref + 1) - lgamma(n_test + 1))))), 6) AS p_value
+FROM c
 """
 
     o["token_invariant"] = """

@@ -211,6 +211,50 @@ def mmd_2samp(
     )
 
 
+def fet_2samp(df: DataFrame, bit_col: str, sample: str = "sample") -> DataFrame:
+    """Offline Fisher exact test on a Bernoulli feature
+    (``alibi_detect/cd/fet.py:86-120``; one-sided 'greater': p = P[hits_ref ≥
+    observed] under exchangeability, the hypergeometric survival function).
+
+    Plan: ONE relational aggregate collapses the table to a 2×2 contingency
+    row (partial+final agg, nothing leaves the JVM until then); the
+    hypergeometric tail is then computed on that single row in an Arrow UDF
+    with the shared scipy-free kernel (``functions/fet.py``)."""
+    import pandas as pd
+
+    from ..functions.fet import hypergeom_sf_ge
+
+    counts = df.agg(
+        F.sum(F.when(F.col(sample) == "ref", F.col(bit_col)).otherwise(0)).alias("hits_ref"),
+        F.sum(F.when(F.col(sample) == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col(sample) != "ref", F.col(bit_col)).otherwise(0)).alias("hits_test"),
+        F.sum(F.when(F.col(sample) != "ref", 1).otherwise(0)).alias("n_test"),
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            a = int(pdf["hits_ref"].iloc[0])
+            b = int(pdf["hits_test"].iloc[0])
+            n_ref = int(pdf["n_ref"].iloc[0])
+            n_test = int(pdf["n_test"].iloc[0])
+            import numpy as np
+
+            p = hypergeom_sf_ge(np.array([a]), n_ref + n_test, np.array([a + b]), n_ref)[0]
+            yield pd.DataFrame(
+                {
+                    "n_ref": [n_ref],
+                    "n_test": [n_test],
+                    "hits_ref": [a],
+                    "hits_test": [b],
+                    "p_value": [round(p, 6)],
+                }
+            )
+
+    return counts.mapInPandas(
+        fn, schema="n_ref long, n_test long, hits_ref long, hits_test long, p_value double"
+    )
+
+
 def mahalanobis_scores(
     df: DataFrame, cols: tuple[str, str], id_cols: list[str], top_k: int = 100
 ) -> DataFrame:
