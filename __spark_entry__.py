@@ -24,6 +24,8 @@ from alibi_detect_spark.operators.detect import (  # noqa: E402
     cvm_online_over,
     ewma_over,
     fet_online_over,
+    lsdd_online_over,
+    mahalanobis_online_over,
     score_rollup,
 )
 from alibi_detect_spark.operators.gapfill import gapfill  # noqa: E402
@@ -178,6 +180,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mmd_drift"] = lambda s, sf: drift.mmd_2samp(
         _events_labeled(s, sf), "value", n_per_side=256, sigma=5.0, order_col="event_id"
     )
+    q["uncertainty_drift"] = lambda s, sf: drift.uncertainty_drift(
+        _t(s, sf, "embeddings").withColumn(
+            "sample",
+            F.when(F.col("vec_id") % 2 == 0, F.lit("ref")).otherwise(F.lit("test")),
+        ),
+        "embedding",
+    )
+    q["tabular_drift"] = lambda s, sf: drift.tabular_drift(
+        _events_labeled(s, sf).withColumn("u", (F.col("user_id") % 100).cast("double")),
+        num_cols=["value", "u"],
+        cat_cols=["event_type"],
+    )
     q["mahalanobis_topk"] = lambda s, sf: drift.mahalanobis_scores(
         _t(s, sf, "lineitem"), ("l_quantity", "l_discount"), ["l_orderkey", "l_linenumber"], 100
     )
@@ -199,6 +213,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    q["lsdd_online"] = lambda s, sf: lsdd_online_over(
+        _t(s, sf, "events").select(
+            "event_type", F.col("event_id").alias("seq"), "value",
+            (F.col("user_id") % 100).cast("double").alias("u"),
+        ),
+        "event_type",
+        "seq",
+        ["value", "u"],
+    )
+    q["mahalanobis_online"] = lambda s, sf: mahalanobis_online_over(
+        _t(s, sf, "events").select(
+            "event_type", F.col("event_id").alias("seq"), "value",
+            (F.col("user_id") % 100).cast("double").alias("u"),
+        ),
+        "event_type",
+        "seq",
+        ["value", "u"],
+        n_components=2,
+    )
     q["fet_drift"] = lambda s, sf: drift.fet_2samp(
         _events_labeled(s, sf).withColumn("bit", (F.col("value") >= 10.0).cast("int")),
         "bit",
@@ -498,6 +531,68 @@ agg AS (SELECT
 SELECT CAST(sqrt(nn) AS BIGINT) AS n_ref, CAST(sqrt(mm) AS BIGINT) AS n_test,
        round(kxx/(sqrt(nn)*(sqrt(nn)-1)) + kyy/(sqrt(mm)*(sqrt(mm)-1)) - 2*kxy/nm, 6) AS mmd2
 FROM agg
+"""
+
+    def _ks_feature(col_expr: str, name: str) -> str:
+        return f"""
+SELECT '{name}' AS feature, 'ks' AS test, round(d_raw, 9) AS stat,
+       round(CASE WHEN tt <= 0 THEN 1.0 ELSE
+         least(greatest(list_sum(list_transform(generate_series(1, 100),
+           k -> 2.0 * pow(-1.0, k-1) * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * tt * tt))), 0.0), 1.0)
+       END, 9) AS p_value
+FROM (SELECT n_ref, n_test, d_raw, sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS tt
+      FROM (SELECT n_ref, n_test, max(abs(cum_ref/n_ref - cum_test/n_test)) AS d_raw
+            FROM (SELECT sum(c_ref)  OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_ref,
+                         sum(c_test) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_test,
+                         sum(c_ref)  OVER () AS n_ref,
+                         sum(c_test) OVER () AS n_test
+                  FROM (SELECT {col_expr} AS v,
+                               sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+                               sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS c_test
+                        FROM lab GROUP BY 1))
+            GROUP BY 1, 2))
+"""
+
+    o["tabular_drift"] = f"""
+WITH lab AS (SELECT value, CAST(user_id % 100 AS DOUBLE) AS u, event_type,
+                    CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s FROM events),
+cells AS (SELECT event_type, s, count(*) AS obs FROM lab GROUP BY 1, 2),
+tot AS (SELECT sum(obs) AS n FROM cells),
+rm AS (SELECT event_type, sum(obs) AS row_n FROM cells GROUP BY 1),
+cm AS (SELECT s, sum(obs) AS col_n FROM cells GROUP BY 1),
+chi AS (SELECT round(sum((obs - row_n*col_n/n) * (obs - row_n*col_n/n) / (row_n*col_n/n)), 9) AS chi2_stat
+        FROM cells JOIN rm USING (event_type) JOIN cm USING (s) CROSS JOIN tot)
+{_ks_feature('value', 'value')}
+UNION ALL
+{_ks_feature('u', 'u')}
+UNION ALL
+SELECT 'event_type' AS feature, 'chi2' AS test, chi2_stat AS stat, NULL AS p_value FROM chi
+"""
+
+    o["uncertainty_drift"] = f"""
+WITH base AS (SELECT list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS lg,
+                     CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s
+              FROM embeddings),
+ex AS (SELECT list_transform(lg, x -> exp(x - list_max(lg))) AS exps, s FROM base),
+pr AS (SELECT list_transform(exps, e -> e / list_reduce(exps, (a, b) -> a + b)) AS probs, s FROM ex),
+lab AS (SELECT round(-list_reduce(list_transform(probs, p -> p * ln(p)), (a, b) -> a + b), 9) AS ent, s FROM pr)
+SELECT 'entropy' AS feature, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_test AS BIGINT) AS n_test,
+       round(d_raw, 9) AS ks_stat,
+       round(CASE WHEN tt <= 0 THEN 1.0 ELSE
+         least(greatest(list_sum(list_transform(generate_series(1, 100),
+           k -> 2.0 * pow(-1.0, k-1) * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * tt * tt))), 0.0), 1.0)
+       END, 9) AS p_value
+FROM (SELECT n_ref, n_test, d_raw, sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS tt
+      FROM (SELECT n_ref, n_test, max(abs(cum_ref/n_ref - cum_test/n_test)) AS d_raw
+            FROM (SELECT sum(c_ref)  OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_ref,
+                         sum(c_test) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_test,
+                         sum(c_ref)  OVER () AS n_ref,
+                         sum(c_test) OVER () AS n_test
+                  FROM (SELECT ent AS v,
+                               sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+                               sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS c_test
+                        FROM lab GROUP BY 1))
+            GROUP BY 1, 2))
 """
 
     o["mahalanobis_topk"] = """

@@ -138,6 +138,84 @@ def ewma_over(
     return df.select(key, order_col, value).groupBy(key).applyInPandas(fn, schema=out_schema)
 
 
+def lsdd_online_over(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_cols: list[str],
+    ert: float = 100.0,
+    window_size: int = 10,
+    n_ref: int = 200,
+    n_bootstraps: int = 500,
+    base_seed: int = 42,
+) -> DataFrame:
+    """Online LSDD drift per key (``cd/pytorch/lsdd_online.py``): seeded
+    per-key fit (kernel centers, λ-regularized H inverse, bootstrap
+    thresholds) on the executor, FIFO kernel-row window scoring over the
+    ordered stream."""
+    from ..functions.lsdd import OnlineLSDD
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        k = pdf[key].iloc[0]
+        x = pdf[value_cols].to_numpy(dtype=np.float64)
+        n = len(x)
+        out = pd.DataFrame({key: pdf[key].to_numpy(), order_col: pdf[order_col].to_numpy()})
+        if n <= n_ref + 2 * window_size:
+            out["lsdd_stat"] = np.nan
+            out["lsdd_threshold"] = np.nan
+            out["lsdd_is_drift"] = np.int32(0)
+            return out
+        det = OnlineLSDD.fit(
+            x[:n_ref], ert=ert, window_size=window_size,
+            n_bootstraps=n_bootstraps, seed=source_seed(str(k), base_seed),
+        )
+        stats, thr, drift, _ = det.score_stream(x[n_ref:])
+        pad = np.full(n_ref, np.nan)
+        out["lsdd_stat"] = np.concatenate([pad, np.round(stats, 9)])
+        out["lsdd_threshold"] = np.concatenate([pad, np.round(thr, 9)])
+        out["lsdd_is_drift"] = np.concatenate([np.zeros(n_ref, dtype=np.int32), drift]).astype(np.int32)
+        return out
+
+    schema = f"{key} string, {order_col} long, lsdd_stat double, lsdd_threshold double, lsdd_is_drift int"
+    return df.select(key, order_col, *value_cols).groupBy(key).applyInPandas(fn, schema=schema)
+
+
+def mahalanobis_online_over(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_cols: list[str],
+    batch_size: int = 64,
+    n_components: int = 3,
+    threshold_perc: float = 99.0,
+) -> DataFrame:
+    """Online Mahalanobis outlier scoring per key (``od/mahalanobis.py``):
+    sorted per-key stream processed in FIXED batches (the chunking is spec —
+    scores depend on it), online mean/cov/PCA/recursive-inverse state carried
+    across batches inside the group. Threshold = exact percentile of the
+    group's scores (``od/mahalanobis.py:178-206 infer_threshold`` semantics)."""
+    from ..functions.mahalanobis import OnlineMahalanobis
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_cols].to_numpy(dtype=np.float64)
+        det = OnlineMahalanobis(n_components=n_components)
+        scores = det.score_stream(x, batch_size=batch_size)
+        thr = float(np.percentile(scores, threshold_perc)) if len(scores) else np.nan
+        return pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                order_col: pdf[order_col].to_numpy(),
+                "maha_score": np.round(scores, 6),
+                "is_outlier": (scores > thr).astype(np.int32),
+            }
+        )
+
+    schema = f"{key} string, {order_col} long, maha_score double, is_outlier int"
+    return df.select(key, order_col, *value_cols).groupBy(key).applyInPandas(fn, schema=schema)
+
+
 def fet_online_over(
     df: DataFrame,
     key: str,

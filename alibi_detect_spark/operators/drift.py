@@ -211,6 +211,49 @@ def mmd_2samp(
     )
 
 
+def tabular_drift(
+    df: DataFrame,
+    num_cols: list[str],
+    cat_cols: list[str],
+    sample: str = "sample",
+) -> DataFrame:
+    """TabularDrift (``alibi_detect/cd/tabular.py:9-156``): per-feature
+    dispatch — two-sample KS for numeric features, χ² contingency for
+    categorical — unioned into one (feature, test, stat, p_value) relation.
+    Each feature's plan is independent; Catalyst runs them as parallel
+    branches of the union."""
+    parts = []
+    for c in num_cols:
+        k = ks_2samp(
+            df.select(F.lit(c).alias("feature"), F.col(c).alias("value"), sample),
+            "feature",
+            "value",
+            sample,
+        )
+        parts.append(
+            k.select(
+                "feature",
+                F.lit("ks").alias("test"),
+                F.col("ks_stat").alias("stat"),
+                "p_value",
+            )
+        )
+    for c in cat_cols:
+        ch = chi2_contingency(df, c, sample)
+        parts.append(
+            ch.select(
+                F.lit(c).alias("feature"),
+                F.lit("chi2").alias("test"),
+                F.col("chi2_stat").alias("stat"),
+                F.lit(None).cast("double").alias("p_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def fet_2samp(df: DataFrame, bit_col: str, sample: str = "sample") -> DataFrame:
     """Offline Fisher exact test on a Bernoulli feature
     (``alibi_detect/cd/fet.py:86-120``; one-sided 'greater': p = P[hits_ref ≥
@@ -253,6 +296,35 @@ def fet_2samp(df: DataFrame, bit_col: str, sample: str = "sample") -> DataFrame:
     return counts.mapInPandas(
         fn, schema="n_ref long, n_test long, hits_ref long, hits_test long, p_value double"
     )
+
+
+def uncertainty_drift(
+    df: DataFrame,
+    logits_col: str,
+    sample: str = "sample",
+    n_classes: int = 8,
+    key_name: str = "entropy",
+) -> DataFrame:
+    """ClassifierUncertaintyDrift (``alibi_detect/cd/model_uncertainty.py:16-148``
+    + ``cd/preprocess.py:8-57``): model-uncertainty transform (softmax →
+    entropy) as pure column math feeding the KS two-sample test. The "model
+    logits" here are the first ``n_classes`` embedding dims — in production
+    this column is the served model's logit array.
+
+    Entropies are rounded to 9dp BEFORE the ECDF so cross-engine 1-ulp
+    differences in exp/log cannot perturb tie grouping."""
+    logits = F.slice(F.transform(F.col(logits_col), lambda x: x.cast("double")), 1, n_classes)
+    mx = F.array_max(logits)
+    exps = F.transform(logits, lambda x: F.exp(x - mx))
+    denom = F.aggregate(exps, F.lit(0.0), lambda a, b: a + b)
+    probs = F.transform(exps, lambda e: e / denom)
+    entropy = -F.aggregate(probs, F.lit(0.0), lambda a, p: a + p * F.log(p))
+    feat = df.select(
+        F.lit(key_name).alias("feature"),
+        F.round(entropy, 9).alias("value"),
+        sample,
+    )
+    return ks_2samp(feat, "feature", "value", sample)
 
 
 def mahalanobis_scores(

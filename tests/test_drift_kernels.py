@@ -115,3 +115,29 @@ def test_quantile_types_match_numpy_type7():
     # type 6/8 bracket type 7 for this sample size
     for q in (0.1, 0.5, 0.9):
         assert quantile(x, q, qtype=6) == pytest.approx(quantile(x, q, qtype=7), abs=0.05)
+
+
+def test_reservoir_sampling_uniformity():
+    import numpy as np
+    from alibi_detect_spark.functions.sampling import reservoir_sampling, update_reference
+
+    rng = np.random.default_rng(0)
+    # stream of 10k items into a 100-slot reservoir: every item should have
+    # ~equal survival probability (uniformity up to sampling noise)
+    counts = np.zeros(10_000)
+    for trial in range(200):
+        res = np.empty((0, 1))
+        seen = 0
+        stream = np.arange(10_000, dtype=np.float64)[:, None]
+        for start in range(0, 10_000, 500):
+            batch = stream[start : start + 500]
+            res = reservoir_sampling(res, batch, 100, seen, rng=rng)
+            seen += len(batch)
+        counts[res[:, 0].astype(int)] += 1
+    # each item survives with p = 100/10000 = 1% => expected 2 of 200 trials
+    first_half, second_half = counts[:5000].mean(), counts[5000:].mean()
+    assert 1.0 < first_half < 3.0 and 1.0 < second_half < 3.0
+
+    # 'last' policy keeps the tail
+    ref = update_reference(np.arange(10.0)[:, None], np.arange(10.0, 20.0)[:, None], 10, {"last": 5})
+    assert (ref[:, 0] == np.arange(15.0, 20.0)).all()

@@ -111,3 +111,74 @@ def test_cvm_chunked_resume(cvm_det):
     fa = np.nan_to_num(full, nan=-999.0)
     ga = np.nan_to_num(got, nan=-999.0)
     assert np.array_equal(ga.view(np.uint64), fa.view(np.uint64))
+
+
+def test_mahalanobis_online_detects_outliers():
+    from alibi_detect_spark.functions.mahalanobis import OnlineMahalanobis
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((600, 3))
+    idx = np.array([150, 300, 450])
+    x[idx] += 8.0  # gross outliers
+    det = OnlineMahalanobis(n_components=2)
+    scores = det.score_stream(x, batch_size=64)
+    thr = np.percentile(scores, 99)
+    flagged = set(np.where(scores > thr)[0])
+    assert set(idx) <= flagged
+
+
+def test_mahalanobis_online_state_roundtrip():
+    from alibi_detect_spark.functions.mahalanobis import OnlineMahalanobis
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((256, 3))
+    a = OnlineMahalanobis(n_components=2)
+    full = a.score_stream(x, batch_size=64)
+    b = OnlineMahalanobis(n_components=2)
+    first = b.score_stream(x[:128], batch_size=64)
+    c = OnlineMahalanobis.from_state(b.state_dict(), n_components=2)
+    second = c.score_stream(x[128:], batch_size=64)
+    got = np.concatenate([first, second])
+    assert np.array_equal(got.view(np.uint64), full.view(np.uint64))
+
+
+@pytest.fixture(scope="module")
+def lsdd_det():
+    rng = np.random.default_rng(21)
+    x_ref = rng.standard_normal((250, 2))
+    from alibi_detect_spark.functions.lsdd import OnlineLSDD
+
+    return OnlineLSDD.fit(x_ref, ert=ERT, window_size=10, n_bootstraps=500, seed=22)
+
+
+def test_lsdd_ert_h0(lsdd_det):
+    rng = np.random.default_rng(23)
+    runs = []
+    for _ in range(40):
+        xs = rng.standard_normal((int(6 * ERT), 2))
+        _, _, drift, _ = lsdd_det.score_stream(xs)
+        hit = np.argmax(drift) if drift.any() else len(drift)
+        runs.append(hit + 1)
+    art = float(np.mean(runs))
+    assert ERT / 3 < art < 3 * ERT, art
+
+
+def test_lsdd_detects_h1(lsdd_det):
+    rng = np.random.default_rng(24)
+    adds = []
+    for _ in range(15):
+        xs = rng.standard_normal((int(2 * ERT), 2)) + 2.0
+        _, _, drift, _ = lsdd_det.score_stream(xs)
+        assert drift.any()
+        adds.append(np.argmax(drift) + 1)
+    assert float(np.mean(adds)) < ERT / 2
+
+
+def test_lsdd_chunked_resume(lsdd_det):
+    rng = np.random.default_rng(25)
+    xs = rng.standard_normal((90, 2))
+    full, thr_f, _, _ = lsdd_det.score_stream(xs)
+    a, _, _, st = lsdd_det.score_stream(xs[:41])
+    b, _, _, _ = lsdd_det.score_stream(xs[41:], state=st)
+    got = np.concatenate([a, b])
+    assert np.array_equal(got.view(np.uint64), full.view(np.uint64))
