@@ -28,6 +28,7 @@ from alibi_detect_spark.operators.detect import (  # noqa: E402
     mahalanobis_online_over,
     score_rollup,
 )
+from alibi_detect_spark.operators.encode import decode_pages, encode_pages  # noqa: E402
 from alibi_detect_spark.operators.gapfill import gapfill  # noqa: E402
 from alibi_detect_spark.operators.rollup import (  # noqa: E402
     metric_downsample,
@@ -129,6 +130,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_rollup_1h_salted"] = lambda s, sf: rollup_tier1(
         _token_table(_t(s, sf, "documents")), "1h", salted=True
     )
+    def pages_roundtrip(s, sf):
+        """Gap-filled tier rollup → Gorilla pages → decode: the codec sits
+        INSIDE the oracle-checked path (decoded rows must equal the gap-fill
+        SQL exactly; doubles are bit-exact through the XOR codec)."""
+        t1f = gapfill(rollup_tier1(_token_table(_t(s, sf, "documents")), "1h"), "1h")
+        dec = decode_pages(encode_pages(t1f, "1h", page_size=64))
+        nn = lambda c: F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c)).alias(c)  # noqa: E731
+        return dec.select(
+            "source", "tier", "bucket_ts",
+            "n_docs", "sum_n_tok", nn("min_n_tok"), nn("max_n_tok"), nn("mean_n_tok"),
+        )
+
+    q["pages_roundtrip"] = pages_roundtrip
     q["token_invariant"] = lambda s, sf: (
         textstats.tokens_from_text(_t(s, sf, "documents")).agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -197,6 +211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["knn_outlier"] = lambda s, sf: ann.knn_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, k=5
+    )
+    q["knn_ensemble"] = lambda s, sf: ann.knn_ensemble_scores(
+        _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, ks=(3, 5, 7)
     )
     q["sr_saliency"] = lambda s, sf: (
         score_rollup(_events_as_rollup(s, sf)).select(
@@ -415,6 +432,29 @@ SELECT n_ref, n_test, hits_ref, hits_test,
 FROM c
 """
 
+    _TOKEN_ROLLUP_RAW = """
+SELECT source,
+       CAST(1704067200 + (doc_id % 240) * 3600 AS BIGINT) AS bucket_ts,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_n_tok,
+       CAST(min(len(string_split(text,' '))) AS INTEGER) AS min_n_tok,
+       CAST(max(len(string_split(text,' '))) AS INTEGER) AS max_n_tok,
+       CAST(sum(len(string_split(text,' '))) AS BIGINT) / count(*) AS mean_n_tok
+FROM documents GROUP BY 1, 2
+"""
+    o["pages_roundtrip"] = f"""
+WITH r AS ({_TOKEN_ROLLUP_RAW}),
+b AS (SELECT source, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM r GROUP BY 1),
+grid AS (SELECT source, unnest(generate_series(lo, hi, 3600)) AS bucket_ts FROM b)
+SELECT g.source AS source, '1h' AS tier, g.bucket_ts AS bucket_ts,
+       CAST(coalesce(r.n_docs, 0) AS DOUBLE) AS n_docs,
+       CAST(coalesce(r.sum_n_tok, 0) AS DOUBLE) AS sum_n_tok,
+       CAST(r.min_n_tok AS DOUBLE) AS min_n_tok,
+       CAST(r.max_n_tok AS DOUBLE) AS max_n_tok,
+       r.mean_n_tok AS mean_n_tok
+FROM grid g LEFT JOIN r ON g.source = r.source AND g.bucket_ts = r.bucket_ts
+"""
+
     o["token_invariant"] = """
 SELECT count(*) AS n_docs,
        CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_n_tok,
@@ -629,6 +669,40 @@ pairs AS (SELECT t.vec_id, r.ref_id, round(sqrt({_SQ}), 6) AS dist
 rk AS (SELECT vec_id, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ref_id) AS rn
        FROM pairs)
 SELECT vec_id, dist AS knn_dist FROM rk WHERE rn = 5
+"""
+
+    o["knn_ensemble"] = f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+ref AS (SELECT vec_id AS ref_id, v AS rv FROM base WHERE vec_id % 5 = 0),
+test AS (SELECT vec_id, v AS tv FROM base),
+pairs AS (SELECT t.vec_id, r.ref_id, round(sqrt({_SQ}), 6) AS dist
+          FROM test t JOIN ref r ON t.vec_id <> r.ref_id),
+rk AS (SELECT vec_id, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ref_id) AS rn
+       FROM pairs),
+d AS (SELECT vec_id,
+             max(CASE WHEN rn = 3 THEN dist END) AS d3,
+             max(CASE WHEN rn = 5 THEN dist END) AS d5,
+             max(CASE WHEN rn = 7 THEN dist END) AS d7
+      FROM rk WHERE rn IN (3, 5, 7) GROUP BY 1),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(CAST(d3 AS DECIMAL(12,6))) AS DOUBLE) AS s3,
+              CAST(sum(CAST(d3 AS DECIMAL(12,6)) * CAST(d3 AS DECIMAL(12,6))) AS DOUBLE) AS ss3,
+              CAST(sum(CAST(d5 AS DECIMAL(12,6))) AS DOUBLE) AS s5,
+              CAST(sum(CAST(d5 AS DECIMAL(12,6)) * CAST(d5 AS DECIMAL(12,6))) AS DOUBLE) AS ss5,
+              CAST(sum(CAST(d7 AS DECIMAL(12,6))) AS DOUBLE) AS s7,
+              CAST(sum(CAST(d7 AS DECIMAL(12,6)) * CAST(d7 AS DECIMAL(12,6))) AS DOUBLE) AS ss7
+       FROM d),
+nm AS (SELECT vec_id,
+              (d3 - s3/n) / sqrt(ss3/n - (s3/n)*(s3/n)) AS n3,
+              (d5 - s5/n) / sqrt(ss5/n - (s5/n)*(s5/n)) AS n5,
+              (d7 - s7/n) / sqrt(ss7/n - (s7/n)*(s7/n)) AS n7
+       FROM d CROSS JOIN st)
+SELECT vec_id,
+       round((n3 + n5 + n7) / 3, 5) AS avg_score,
+       round(greatest(n3, n5, n7), 5) AS max_score,
+       round(least(n3, n5, n7), 5) AS min_score,
+       round(((n3 + n5 + n7) - least(n3, n5, n7)) / 2, 5) AS top2_score
+FROM nm
 """
 
     _COS = (

@@ -1,0 +1,144 @@
+"""Declarative job configs — the engine's analog of alibi-detect's
+config-driven detector save/load (``alibi_detect/saving/saving.py:35``
+``save_detector``, ``saving/loading.py:77`` ``load_detector``, registry in
+``saving/registry.py``; pydantic schemas in ``saving/schemas.py``).
+
+A config is a JSON-serializable dict: ``{"kind": <registry name>,
+"params": {...}}``. ``build(spec)`` resolves the kind against the operator
+registry, validates params against the operator's signature (unknown keys
+rejected — the schema check), and returns a callable ``(spark, df) →
+DataFrame``. Round-trips through :func:`save_config`/:func:`load_config`
+reproduce the same plan, mirroring the reference's save → load → identical
+predictions contract (tested in ``tests/test_config.py``)."""
+
+from __future__ import annotations
+
+import inspect
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from .operators import ann, dedup, drift, textstats
+from .operators.detect import (
+    cvm_online_over,
+    ewma_over,
+    fet_online_over,
+    lsdd_online_over,
+    mahalanobis_online_over,
+    score_rollup,
+)
+from .operators.gapfill import gapfill
+from .operators.rollup import (
+    downsample,
+    metric_downsample,
+    metric_gapfill,
+    metric_rollup,
+    rollup_tier1,
+)
+
+# registry: kind -> (fn, df-positional-arg-name)
+REGISTRY: dict[str, Callable] = {
+    "rollup_tier1": rollup_tier1,
+    "downsample": downsample,
+    "gapfill": gapfill,
+    "metric_rollup": metric_rollup,
+    "metric_downsample": metric_downsample,
+    "metric_gapfill": metric_gapfill,
+    "score_rollup": score_rollup,
+    "ewma_over": ewma_over,
+    "fet_online_over": fet_online_over,
+    "cvm_online_over": cvm_online_over,
+    "lsdd_online_over": lsdd_online_over,
+    "mahalanobis_online_over": mahalanobis_online_over,
+    "ks_2samp": drift.ks_2samp,
+    "cvm_2samp": drift.cvm_2samp,
+    "chi2_contingency": drift.chi2_contingency,
+    "mmd_2samp": drift.mmd_2samp,
+    "fet_2samp": drift.fet_2samp,
+    "tabular_drift": drift.tabular_drift,
+    "uncertainty_drift": drift.uncertainty_drift,
+    "mahalanobis_scores": drift.mahalanobis_scores,
+    "exact_dup_groups": dedup.exact_dup_groups,
+    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+    "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    "simhash_near_pairs": dedup.simhash_near_pairs,
+    "lang_id": textstats.lang_id,
+    "quality_score": textstats.quality_score,
+    "token_counts": textstats.token_counts,
+    "fingerprint": textstats.fingerprint,
+    "tokens_from_text": textstats.tokens_from_text,
+}
+# ann operators take a Column predicate — configured via an expression string
+ANN_REGISTRY = {
+    "cosine_topk": ann.cosine_topk,
+    "cosine_topk_ivf": ann.cosine_topk_ivf,
+    "knn_outlier_scores": ann.knn_outlier_scores,
+}
+
+
+def validate(spec: dict) -> Callable:
+    """Resolve + schema-check a config spec (the ``saving/schemas.py`` role:
+    unknown kinds and unknown/missing params fail loudly at load time)."""
+    if not isinstance(spec, dict) or "kind" not in spec:
+        raise ValueError("config spec must be a dict with a 'kind' key")
+    kind = spec["kind"]
+    params = spec.get("params", {})
+    if kind in ANN_REGISTRY:
+        fn = ANN_REGISTRY[kind]
+        allowed = set(inspect.signature(fn).parameters) - {"emb", "query_pred", "ref_pred"}
+        extra = set(params) - allowed - {"predicate"}
+        if extra:
+            raise ValueError(f"{kind}: unknown params {sorted(extra)}")
+        if "predicate" not in params:
+            raise ValueError(f"{kind}: requires a 'predicate' SQL expression param")
+        return fn
+    if kind not in REGISTRY:
+        raise ValueError(f"unknown operator kind {kind!r}; known: {sorted(REGISTRY)}")
+    fn = REGISTRY[kind]
+    sig = inspect.signature(fn)
+    names = list(sig.parameters)
+    allowed = set(names[1:])  # first param is the input DataFrame
+    extra = set(params) - allowed
+    if extra:
+        raise ValueError(f"{kind}: unknown params {sorted(extra)} (allowed: {sorted(allowed)})")
+    missing = {
+        n
+        for n, p in list(sig.parameters.items())[1:]
+        if p.default is inspect.Parameter.empty and n not in params
+    }
+    if missing:
+        raise ValueError(f"{kind}: missing required params {sorted(missing)}")
+    return fn
+
+
+def build(spec: dict) -> Callable[[object, DataFrame], DataFrame]:
+    """Config → runnable operator (``load_detector`` analog)."""
+    fn = validate(spec)
+    kind, params = spec["kind"], dict(spec.get("params", {}))
+
+    def run(spark, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if kind in ANN_REGISTRY:
+            pred = F.expr(params.pop("predicate"))
+            return ANN_REGISTRY[kind](df, pred, **params)
+        return fn(df, **params)
+
+    return run
+
+
+def save_config(path: str, spec: dict) -> None:
+    """``save_detector`` analog: validate, then persist the declarative spec."""
+    validate(spec)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(spec, f, indent=2, sort_keys=True)
+
+
+def load_config(path: str) -> Callable[[object, DataFrame], DataFrame]:
+    """``load_detector`` analog: read, validate, build."""
+    with open(path) as f:
+        spec = json.load(f)
+    return build(spec)

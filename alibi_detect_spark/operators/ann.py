@@ -31,6 +31,70 @@ def _collect_matrix(emb: DataFrame, pred, id_col: str, extra: list[str] | None =
     return pdf, ids, m
 
 
+def knn_ensemble_scores(
+    emb: DataFrame,
+    ref_pred,
+    ks: tuple[int, ...] = (3, 5, 7),
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """KNN ensemble outlier scoring (``od/_knn.py`` with the ensemble ops of
+    ``od/pytorch/ensemble.py``): distance to each k-th nearest reference
+    neighbour per k, ShiftAndScaleNormalizer (``ensemble.py:118``) from
+    EXACT decimal moments of the rounded distances (bit-stable across
+    engines), and Avg/Max/Min/TopK aggregators (``:157-248``) as column math.
+    One corpus scan + one tiny broadcast of the global moments."""
+    _, ref_ids, r = _collect_matrix(emb, ref_pred, id_col)
+    r2 = np.einsum("ij,ij->i", r, r)
+    kmax = max(ks)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[EMB_COL].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            d2 = np.maximum(np.einsum("ij,ij->i", x, x)[:, None] + r2[None, :] - 2.0 * (x @ r.T), 0.0)
+            d = np.round(np.sqrt(d2), 6)
+            d[ids[:, None] == ref_ids[None, :]] = np.inf
+            order = np.lexsort((np.broadcast_to(ref_ids, d.shape), d), axis=-1)
+            rows = {"vec_id": ids}
+            top = d[np.arange(len(ids))[:, None], order[:, :kmax]]
+            for k in ks:
+                rows[f"d{k}"] = top[:, k - 1]
+            yield pd.DataFrame(rows)
+
+    dists = emb.select(id_col, EMB_COL).mapInPandas(
+        fn, schema="vec_id long, " + ", ".join(f"d{k} double" for k in ks)
+    )
+    # ShiftAndScaleNormalizer moments from exact decimal sums (order-free)
+    n = F.count(F.lit(1)).cast("double")
+    moment_cols = []
+    for k in ks:
+        dec = F.col(f"d{k}").cast("decimal(12,6)")
+        moment_cols += [
+            F.sum(dec).cast("double").alias(f"s{k}"),
+            F.sum(dec * dec).cast("double").alias(f"ss{k}"),
+        ]
+    stats = dists.agg(n.alias("n"), *moment_cols)
+    sel = []
+    for k in ks:
+        mean = F.col(f"s{k}") / F.col("n")
+        std = F.sqrt(F.col(f"ss{k}") / F.col("n") - mean * mean)
+        sel.append(((F.col(f"d{k}") - mean) / std).alias(f"n{k}"))
+    normed = dists.crossJoin(F.broadcast(stats)).select("vec_id", *sel)
+    nsum = sum((F.col(f"n{k}") for k in ks[1:]), F.col(f"n{ks[0]}"))
+    nmin = F.least(*[F.col(f"n{k}") for k in ks])
+    nmax = F.greatest(*[F.col(f"n{k}") for k in ks])
+    return normed.select(
+        "vec_id",
+        F.round(nsum / len(ks), 5).alias("avg_score"),
+        F.round(nmax, 5).alias("max_score"),
+        F.round(nmin, 5).alias("min_score"),
+        # TopKAggregator(k=2) over |ks|=3 normalized scores = mean of all-but-min
+        F.round((nsum - nmin) / (len(ks) - 1), 5).alias("top2_score"),
+    )
+
+
 def knn_outlier_scores(
     emb: DataFrame,
     ref_pred,
