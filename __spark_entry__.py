@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from alibi_detect_spark.operators import ann, dedup, drift, textstats  # noqa: E402
+from alibi_detect_spark.operators import ann, dedup, drift, outlier, textstats  # noqa: E402
 from alibi_detect_spark.operators.detect import (  # noqa: E402
     cvm_online_over,
     ewma_over,
@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["knn_ensemble"] = lambda s, sf: ann.knn_ensemble_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, ks=(3, 5, 7)
+    )
+    q["pca_outlier"] = lambda s, sf: outlier.pca_outlier_scores(
+        _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=4
     )
     q["sr_saliency"] = lambda s, sf: (
         score_rollup(_events_as_rollup(s, sf)).select(

@@ -57,7 +57,12 @@ def hypergeom_sf_ge(k: np.ndarray, m: int, n_success: np.ndarray, n_draw: int) -
         )
         return float(np.exp(logp).sum())
 
-    return np.array([one(ki, Ki) for ki, Ki in zip(k.ravel(), n_success.ravel())]).reshape(k.shape)
+    # window sums take few distinct values on long streams — compute each
+    # distinct (k, K) pair once
+    pairs = np.stack([k.ravel(), n_success.ravel()], axis=1)
+    uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
+    vals = np.array([one(ki, Ki) for ki, Ki in uniq])
+    return vals[inverse].reshape(k.shape)
 
 
 @dataclass

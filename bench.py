@@ -28,14 +28,24 @@ BENCH_QUERIES = [
     "gapfill_1h_events",
     "token_rollup_1h",
     "ewma_hourly_counts",
+    "pages_roundtrip",
     "ks_drift",
     "cvm_drift",
     "chi2_drift",
     "mmd_drift",
+    "fet_drift",
+    "tabular_drift",
+    "uncertainty_drift",
     "mahalanobis_topk",
     "knn_outlier",
+    "knn_ensemble",
+    "pca_outlier",
     "sr_saliency",
     "mmd_online",
+    "fet_online",
+    "cvm_online",
+    "lsdd_online",
+    "mahalanobis_online",
     "dedup_exact_prefix",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -59,3 +59,25 @@ def test_media_stats(spark):
     assert set(s["kind"]) == {"image", "audio", "video"}
     assert int(s["n_items"].sum()) == N
     assert (s["min_bytes"] <= s["max_bytes"]).all()
+
+
+def test_pca_outlier_scores(spark):
+    """PCA outlier (od/_pca.py semantics): off-subspace instances score high."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from alibi_detect_spark.operators.outlier import pca_outlier_scores
+
+    rng = np.random.default_rng(31)
+    # data living on a 2-D subspace of 6-D + 5 off-subspace outliers
+    base = rng.standard_normal((400, 2)) @ rng.standard_normal((2, 6))
+    noise = rng.standard_normal((400, 6)) * 0.01
+    x = base + noise
+    out_idx = [7, 99, 200, 313, 377]
+    x[out_idx] += rng.standard_normal((5, 6)) * 4.0
+    pdf = [(int(i), [float(v) for v in row]) for i, row in enumerate(x)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    ref_pred = F.col("vec_id") % 2 == 0  # even rows as ref (includes outliers: robustly high scores anyway)
+    scores = pca_outlier_scores(df, ref_pred, n_components=2).toPandas().sort_values("vec_id")
+    s = scores["pca_score"].to_numpy()
+    thr = np.percentile(s, 98)
+    assert set(out_idx) <= set(np.where(s > thr)[0])

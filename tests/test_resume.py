@@ -69,3 +69,16 @@ def test_resume_ignores_other_fingerprint(spark, raw, tmp_path):
                        job_fingerprint="jobB", resume=True)
     assert out["metrics"].get("rollup_1h_skipped") is None
     assert out["metrics"]["tier_1h"] > 0
+
+
+def test_retention_expiry(spark, raw, tmp_path):
+    """Retention: dropping a tier partition removes exactly that tier's pages
+    (Iceberg analog: DELETE WHERE tier=... -> partition drop)."""
+    wh = str(tmp_path / "wh_exp")
+    out = run_pipeline(spark, raw, wh, page_size=128, detect_kwargs=DETECT)
+    tiers_before = {r["tier"] for r in out["pages"].select("tier").distinct().collect()}
+    assert {"1h", "6h", "1d"} <= tiers_before
+    out["catalog"].expire("pages", "1h")
+    remaining = spark.read.parquet(f"{wh}/pages")
+    tiers_after = {r["tier"] for r in remaining.select("tier").distinct().collect()}
+    assert tiers_after == tiers_before - {"1h"}
