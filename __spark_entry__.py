@@ -27,6 +27,7 @@ from alibi_detect_spark.operators.detect import (  # noqa: E402
     lsdd_online_over,
     mahalanobis_online_over,
     score_rollup,
+    seasonal_band_outliers,
 )
 from alibi_detect_spark.operators.encode import decode_pages, encode_pages  # noqa: E402
 from alibi_detect_spark.operators.gapfill import gapfill  # noqa: E402
@@ -233,6 +234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    q["seasonal_bands"] = lambda s, sf: seasonal_band_outliers(
+        metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
+        "event_type",
+        "avg_value",
+    )
     q["lsdd_online"] = lambda s, sf: lsdd_online_over(
         _t(s, sf, "events").select(
             "event_type", F.col("event_id").alias("seq"), "value",
@@ -286,6 +292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = lambda s, sf: dedup.simhash32(_t(s, sf, "documents"))
     q["dedup_simhash_pairs"] = lambda s, sf: dedup.simhash_near_pairs(
         _t(s, sf, "documents"), max_hamming=3
+    )
+    q["dedup_embedding_cosine"] = lambda s, sf: dedup.embedding_near_pairs(
+        _t(s, sf, "embeddings"), threshold=0.4
     )
 
     # --- similarity search ------------------------------------------------
@@ -493,6 +502,43 @@ SELECT event_type, count(*) AS n_ref,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        CAST(max(event_id) AS BIGINT) AS newest_event_id
 FROM rk WHERE rn <= 200 GROUP BY 1
+"""
+
+    o["seasonal_bands"] = f"""
+WITH r AS ({_ROLLUP_1H}),
+v AS (SELECT event_type, bucket_ts, avg_value AS y,
+             CAST(bucket_ts/3600 AS BIGINT) % 24 AS phase FROM r),
+b AS (SELECT event_type, phase,
+             round(quantile_cont(y, 0.05), 6) AS band_lo,
+             round(quantile_cont(y, 0.95), 6) AS band_hi
+      FROM v GROUP BY 1, 2)
+SELECT v.event_type AS event_type, v.bucket_ts AS bucket_ts, v.y AS avg_value,
+       band_lo, band_hi,
+       round(greatest(v.y - band_hi, band_lo - v.y), 6) AS season_score,
+       CAST(greatest(v.y - band_hi, band_lo - v.y) > 0 AS INTEGER) AS is_outlier
+FROM v JOIN b ON v.event_type = b.event_type AND v.phase = b.phase
+"""
+
+    _VDOT = "list_reduce(list_transform(generate_series(1,64), i -> {a}[i]*{b}[i]), (x,y) -> x+y)"
+    _HP = (
+        "((CAST(('0x' || substr(md5('hp' || j || ':' || d),1,8)) AS BIGINT) % 2000001 - 1000000)/1000000.0)"
+    )
+    o["dedup_embedding_cosine"] = f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+sk AS (SELECT vec_id,
+       CAST(list_sum(list_transform(generate_series(0,23), j ->
+         CASE WHEN list_reduce(list_transform(generate_series(1,64), d -> v[d] * {_HP}), (a,b) -> a+b) >= 0
+              THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT) AS sketch
+       FROM base),
+banded AS (SELECT vec_id, b AS band_id, (sketch >> (b*4)) & 15 AS band_val
+           FROM sk CROSS JOIN (SELECT unnest(generate_series(0,5)) AS b)),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+pairs AS (SELECT vec_a, vec_b,
+          round({_VDOT.format(a='va.v', b='vb.v')} /
+                (sqrt({_VDOT.format(a='va.v', b='va.v')}) * sqrt({_VDOT.format(a='vb.v', b='vb.v')})), 6) AS cosine
+          FROM cand JOIN base va ON va.vec_id = cand.vec_a JOIN base vb ON vb.vec_id = cand.vec_b)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
 """
 
     _LAB = "SELECT event_type, value, CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s FROM events"

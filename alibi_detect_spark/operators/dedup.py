@@ -204,6 +204,94 @@ def minhash_lsh_pairs(
     )
 
 
+HP_BITS = 24
+HP_BANDS = 6  # 6 bands × 4 bits
+
+
+def _hyperplanes(dim: int, bits: int = HP_BITS) -> "np.ndarray":
+    """Deterministic random hyperplanes shared with the SQL oracle: component
+    (j, d) = md5-derived 32-bit int mapped to [-1, 1]. hashlib and DuckDB md5
+    agree byte-for-byte, so both engines build the same planes."""
+    import hashlib
+
+    import numpy as np
+
+    g = np.empty((bits, dim))
+    for j in range(bits):
+        for d in range(dim):
+            h = int(hashlib.md5(f"hp{j}:{d + 1}".encode()).hexdigest()[:8], 16)
+            g[j, d] = (h % 2_000_001 - 1_000_000) / 1_000_000.0
+    return g
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the random-hyperplane LSH path
+    (SimHash for vectors): 24 sign bits → 6 bands of 4 bits → candidates
+    share ≥1 band → verify exact cosine ≥ threshold.
+
+    At 10^12 vectors the corpus shuffles only (id, band) pairs and candidate
+    verification touches the LSH survivors; recall follows the banding
+    S-curve (approximate by design — the candidate set is part of the spec
+    and is deterministic, so the oracle matches it exactly)."""
+    import numpy as np
+    import pandas as pd
+
+    g = _hyperplanes(dim)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            bits = (x @ g.T) >= 0.0  # [n, bits]
+            sketch = (bits.astype(np.int64) << np.arange(HP_BITS, dtype=np.int64)[None, :]).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "sketch": sketch})
+
+    sk = emb.select(id_col, emb_col).mapInPandas(fn, schema="vec_id long, sketch long")
+    width = HP_BITS // HP_BANDS
+    bandv = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("sketch"), b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
+            )
+            for b in range(HP_BANDS)
+        ]
+    )
+    banded = sk.select("vec_id", F.explode(bandv).alias("bk")).select(
+        "vec_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_val").alias("band_val")
+    )
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band_id", "band_val")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band_id", "band_val")
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    # verify with the SAME fold-order cosine the oracle uses
+    vecs = emb.select(
+        F.col(id_col), F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("v")
+    )
+    dot = lambda p, q: F.aggregate(  # noqa: E731
+        F.zip_with(p, q, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t
+    )
+    va, vb = F.col("va"), F.col("vb")
+    cos = dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+    return (
+        cand.join(vecs.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(vecs.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def simhash32(docs: DataFrame, text: str = "text") -> DataFrame:
     """32-bit SimHash over word occurrences: explode words → one 32-bit
     md5-derived hash per word → hash-aggregate with 32 conditional ±1 sums

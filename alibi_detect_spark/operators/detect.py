@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions.ewma import ewma
 from ..functions.mmd import OnlineMMD, OnlineMMDState
@@ -136,6 +136,41 @@ def ewma_over(
 
     out_schema = f"{key} string, {order_col} long, ewma double"
     return df.select(key, order_col, value).groupBy(key).applyInPandas(fn, schema=out_schema)
+
+
+def seasonal_band_outliers(
+    rollup: DataFrame,
+    key: str,
+    value: str,
+    period_buckets: int = 24,
+    bucket_seconds: int = 3600,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+) -> DataFrame:
+    """Seasonal quantile-band outlier scoring — the engine's analog of
+    ``OutlierProphet`` (``alibi_detect/od/prophet.py:131-152``: score =
+    distance outside the forecast's ``[yhat_lower, yhat_upper]`` band).
+    The "forecast" is the per-(key, phase-of-period) exact quantile band of
+    the rollup history — a relational seasonal baseline over tier data
+    (SURVEY §2.1's stated Prophet recast). One groupBy for the bands, one
+    broadcast-able join back; everything whole-stage codegen."""
+    phase = (F.col("bucket_ts") / bucket_seconds).cast("long") % period_buckets
+    vals = rollup.select(key, "bucket_ts", F.col(value).alias("y"), phase.alias("phase"))
+    bands = vals.groupBy(key, "phase").agg(
+        F.round(F.expr(f"percentile(y, {q_lo})"), 6).alias("band_lo"),
+        F.round(F.expr(f"percentile(y, {q_hi})"), 6).alias("band_hi"),
+    )
+    scored = vals.join(bands, [key, "phase"])
+    score = F.greatest(F.col("y") - F.col("band_hi"), F.col("band_lo") - F.col("y"))
+    return scored.select(
+        key,
+        "bucket_ts",
+        F.col("y").alias(value),
+        "band_lo",
+        "band_hi",
+        F.round(score, 6).alias("season_score"),
+        (score > 0).cast("int").alias("is_outlier"),
+    )
 
 
 def lsdd_online_over(

@@ -46,10 +46,12 @@ BENCH_QUERIES = [
     "cvm_online",
     "lsdd_online",
     "mahalanobis_online",
+    "seasonal_bands",
     "dedup_exact_prefix",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "lang_id",
