@@ -219,6 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pca_outlier"] = lambda s, sf: outlier.pca_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=4
     )
+    q["gmm_outlier"] = lambda s, sf: outlier.gmm_outlier_scores(
+        _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=3
+    )
     q["sr_saliency"] = lambda s, sf: (
         score_rollup(_events_as_rollup(s, sf)).select(
             "source", "bucket_ts", F.round("sr_score", 6).alias("sr_score"), "is_outlier"

@@ -48,3 +48,33 @@ def pca_outlier_scores(
             )
 
     return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, pca_score double")
+
+
+def gmm_outlier_scores(
+    emb: DataFrame,
+    ref_pred,
+    n_components: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """GMM outlier score (``alibi_detect/od/_gmm.py:22-231``): seeded EM fit
+    on the broadcast reference, score = negative log-likelihood, one corpus
+    scan."""
+    from ..functions.gmm import GMMOutlier
+
+    _, _, r = _collect_matrix(emb, ref_pred, id_col)
+    det = GMMOutlier(n_components=n_components, seed=seed).fit(r)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[EMB_COL].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "gmm_score": np.round(det.score(x), 6),
+                }
+            )
+
+    return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, gmm_score double")

@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -90,6 +91,78 @@ def run_stream_rollup_once(
         .start()
     )
     q.awaitTermination()
+
+
+MMD_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("bucket_ts", LongType()),
+        StructField("mmd_stat", DoubleType()),
+        StructField("mmd_threshold", DoubleType()),
+        StructField("mmd_is_drift", LongType()),
+    ]
+)
+MMD_STATE_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("window_flat", ArrayType(DoubleType())),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+
+def mmd_stream(
+    rollup: DataFrame,
+    detectors: dict,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Streaming online-MMD drift as a custom stateful operator
+    (``applyInPandasWithState``): the detector configs (ref subset, kernel
+    bandwidth, bootstrap thresholds) are FITTED BATCH-SIDE and shipped in the
+    closure (exactly the reference's fit-then-stream lifecycle,
+    ``cd/base_online.py``); the state store carries (t, FIFO test window) per
+    source, so trajectories bit-match the batch replay across micro-batches
+    and restarts."""
+    import numpy as np
+
+    from ..functions.mmd import OnlineMMDState
+
+    def fn(key, pdf_iter, state):
+        (source,) = key
+        det = detectors.get(source)
+        if det is None:
+            return
+        if state.exists:
+            t, flat, last_ts = state.get
+            st = OnlineMMDState(t=int(t), test_window=np.asarray(flat, dtype=np.float64).reshape(det.window_size, -1))
+        else:
+            st, last_ts = det.initial_state(), -1
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+            pdf = pdf[pdf["bucket_ts"] > last_ts]
+            if not len(pdf):
+                continue
+            x = pdf[value_col].to_numpy(dtype=np.float64)[:, None]
+            stats, thr, drift, st = det.score_stream(x, st)
+            last_ts = int(pdf["bucket_ts"].iloc[-1])
+            yield pd.DataFrame(
+                {
+                    "source": source,
+                    "bucket_ts": pdf["bucket_ts"].to_numpy(dtype=np.int64),
+                    "mmd_stat": stats,
+                    "mmd_threshold": thr,
+                    "mmd_is_drift": drift.astype(np.int64),
+                }
+            )
+        state.update((st.t, [float(v) for v in st.test_window.ravel()], last_ts))
+
+    return rollup.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=MMD_OUT_SCHEMA,
+        stateStructType=MMD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
 
 
 EWMA_OUT_SCHEMA = StructType(

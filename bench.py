@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "knn_outlier",
     "knn_ensemble",
     "pca_outlier",
+    "gmm_outlier",
     "sr_saliency",
     "mmd_online",
     "fet_online",

@@ -81,3 +81,23 @@ def test_pca_outlier_scores(spark):
     s = scores["pca_score"].to_numpy()
     thr = np.percentile(s, 98)
     assert set(out_idx) <= set(np.where(s > thr)[0])
+
+
+def test_gmm_outlier_scores(spark):
+    """GMM outlier (od/_gmm.py semantics): off-cluster instances score high."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from alibi_detect_spark.operators.outlier import gmm_outlier_scores
+
+    rng = np.random.default_rng(41)
+    a = rng.standard_normal((200, 4)) * 0.5 + np.array([4, 0, 0, 0])
+    b = rng.standard_normal((200, 4)) * 0.5 - np.array([4, 0, 0, 0])
+    x = np.concatenate([a, b])
+    out_idx = [50, 250, 399]
+    x[out_idx] = rng.standard_normal((3, 4)) * 0.5 + np.array([0, 10, 0, 0])
+    pdf = [(int(i), [float(v) for v in row]) for i, row in enumerate(x)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    scores = gmm_outlier_scores(df, F.col("vec_id") % 2 == 1, n_components=2).toPandas().sort_values("vec_id")
+    s = scores["gmm_score"].to_numpy()
+    thr = np.percentile(s, 99)
+    assert set(out_idx) <= set(np.where(s > thr)[0])

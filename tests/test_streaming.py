@@ -117,3 +117,62 @@ def test_ewma_stream_bitmatches_recursion(spark, tmp_path, cfg):
         want = ewma(grp["sum_n_tok"].to_numpy(np.float64), 0.1)
         g = got[got["source"] == source]["ewma"].to_numpy(np.float64)
         assert np.array_equal(g.view(np.uint64), want.view(np.uint64)), source
+
+
+def test_mmd_stream_bitmatches_batch(spark, tmp_path, cfg):
+    """Streaming online-MMD (fit batch-side, state in the state store) must
+    reproduce the batch replay trajectories bit-for-bit across micro-batches."""
+    tmp = str(tmp_path)
+    from alibi_detect_spark.functions.mmd import OnlineMMD
+    from alibi_detect_spark.operators.detect import source_seed
+    from alibi_detect_spark.streaming.rollup_stream import mmd_stream
+
+    raw = spark.createDataFrame(
+        synth_batch(np.arange(0, 40_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    rollup = rollup_tier1(raw, "1h").toPandas().sort_values(["source", "bucket_ts"])
+    n_ref, W = 48, 6
+
+    # fit per-source detectors batch-side (ref = head of each series)
+    dets, batch_out = {}, {}
+    for source, grp in rollup.groupby("source"):
+        x = grp["sum_n_tok"].to_numpy(np.float64)[:, None]
+        det = OnlineMMD.fit(x[:n_ref], ert=40.0, window_size=W, n_bootstraps=100,
+                            seed=source_seed(source, 42))
+        dets[source] = det
+        stats, thr, drift, _ = det.score_stream(x[n_ref:])
+        batch_out[source] = (grp["bucket_ts"].to_numpy()[n_ref:], stats, thr, drift)
+
+    # stream only the post-ref rows, two files in time order
+    post = rollup.groupby("source", group_keys=False).apply(lambda g: g.iloc[n_ref:])
+    cut = post["bucket_ts"].median()
+    os.makedirs(f"{tmp}/min", exist_ok=True)
+    post[post["bucket_ts"] <= cut].to_parquet(f"{tmp}/min/p0.parquet", index=False)
+    post[post["bucket_ts"] > cut].to_parquet(f"{tmp}/min/p1.parquet", index=False)
+    src = (
+        spark.readStream.schema(
+            "source string, bucket_ts long, n_docs long, sum_n_tok long,"
+            " min_n_tok int, max_n_tok int, mean_n_tok double, gapfilled boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/min")
+    )
+    q = (
+        mmd_stream(src, dets)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/mout")
+        .option("checkpointLocation", f"{tmp}/mckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{tmp}/mout").toPandas().sort_values(["source", "bucket_ts"])
+
+    for source, (ts, stats, thr, drift) in batch_out.items():
+        g = got[got["source"] == source].sort_values("bucket_ts")
+        assert np.array_equal(g["bucket_ts"].to_numpy(), ts), source
+        assert np.array_equal(
+            g["mmd_stat"].to_numpy(np.float64).view(np.uint64), stats.view(np.uint64)
+        ), source
+        assert np.array_equal(g["mmd_is_drift"].to_numpy(np.int64), drift.astype(np.int64)), source
