@@ -195,6 +195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mmd_drift"] = lambda s, sf: drift.mmd_2samp(
         _events_labeled(s, sf), "value", n_per_side=256, sigma=5.0, order_col="event_id"
     )
+    q["mmd_perm_test"] = lambda s, sf: drift.mmd_perm_test(
+        _events_labeled(s, sf), "value", n_per_side=256, sigma=5.0, order_col="event_id"
+    )
     q["uncertainty_drift"] = lambda s, sf: drift.uncertainty_drift(
         _t(s, sf, "embeddings").withColumn(
             "sample",
@@ -221,6 +224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["gmm_outlier"] = lambda s, sf: outlier.gmm_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=3
+    )
+    q["lof_outlier"] = lambda s, sf: outlier.lof_outlier_scores(
+        _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, k=10
     )
     q["sr_saliency"] = lambda s, sf: (
         score_rollup(_events_as_rollup(s, sf)).select(

@@ -32,11 +32,15 @@ import numpy as np
 
 _MASK64 = (1 << 64) - 1
 
-# delta-of-delta classes: (prefix_bits, prefix_len, payload_bits, lo, hi)
+# delta-of-delta classes: (prefix_bits, prefix_len, payload_bits, lo, hi).
+# Bounds are the payload's two's-complement range [-2^(b-1), 2^(b-1)-1] —
+# NOT the Gorilla paper's offset ranges ([-63, 64], …), because the payload
+# is stored/read as plain two's complement here; the paper's upper bounds
+# (64/256/2048) would wrap (caught by the hypothesis round-trip test).
 _DOD_CLASSES = (
-    (0b10, 2, 7, -63, 64),
-    (0b110, 3, 9, -255, 256),
-    (0b1110, 4, 12, -2047, 2048),
+    (0b10, 2, 7, -64, 63),
+    (0b110, 3, 9, -256, 255),
+    (0b1110, 4, 12, -2048, 2047),
 )
 _DOD_ESC_PREFIX, _DOD_ESC_LEN, _DOD_ESC_BITS = 0b1111, 4, 64
 

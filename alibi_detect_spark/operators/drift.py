@@ -372,3 +372,53 @@ def mahalanobis_scores(
     return top.withColumn("rank", F.row_number().over(w)).select(
         *id_cols, "maha_score", "rank"
     )
+
+
+def mmd_perm_test(
+    df: DataFrame,
+    value: str,
+    sample: str = "sample",
+    n_per_side: int = 256,
+    sigma: float = 5.0,
+    n_permutations: int = 200,
+    seed: int = 42,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Offline MMD drift with a permutation p-value
+    (``alibi_detect/cd/pytorch/mmd.py:113-145``, generic permutation test at
+    ``utils/statstest.py:5-38``): deterministic head subsamples per side, one
+    Arrow group computing the observed unbiased MMD² and the seeded
+    label-shuffle null. Everything before the tiny final group is
+    relational."""
+    import pandas as pd
+
+    from ..functions.perturbation import mmd2_unbiased, permutation_test
+
+    oc = order_col or value
+    w = Window.partitionBy("s").orderBy("o")
+    sub = (
+        df.select(F.col(sample).alias("s"), F.col(value).cast("double").alias("v"), F.col(oc).alias("o"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_side)
+        .select("s", "v", "rn")
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["s", "rn"], kind="mergesort")
+        x = pdf[pdf["s"] == "ref"]["v"].to_numpy()[:, None]
+        y = pdf[pdf["s"] != "ref"]["v"].to_numpy()[:, None]
+        p, stat, _ = permutation_test(
+            x, y, mmd2_unbiased, n_permutations=n_permutations, seed=seed, sigma=sigma
+        )
+        return pd.DataFrame(
+            {
+                "n_ref": [len(x)],
+                "n_test": [len(y)],
+                "mmd2": [round(stat, 6)],
+                "p_value": [round(p, 6)],
+            }
+        )
+
+    return sub.groupBy().applyInPandas(
+        fn, schema="n_ref long, n_test long, mmd2 double, p_value double"
+    )

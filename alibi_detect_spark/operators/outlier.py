@@ -78,3 +78,55 @@ def gmm_outlier_scores(
             )
 
     return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, gmm_score double")
+
+
+def lof_outlier_scores(
+    emb: DataFrame,
+    ref_pred,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Local Outlier Factor vs a broadcast reference set
+    (``alibi_detect/od/_lof.py:22-213`` semantics: fitted neighbourhood
+    statistics on the reference, scores = mean neighbour-lrd / own-lrd).
+    Fit is NumPy on the collected reference; scoring is one corpus scan."""
+    _, _, r = _collect_matrix(emb, ref_pred, id_col)
+    n_ref = r.shape[0]
+    # pairwise within ref (self excluded)
+    d_rr = np.sqrt(
+        np.maximum(
+            np.einsum("ij,ij->i", r, r)[:, None]
+            + np.einsum("ij,ij->i", r, r)[None, :]
+            - 2.0 * (r @ r.T),
+            0.0,
+        )
+    )
+    np.fill_diagonal(d_rr, np.inf)
+    nn_idx = np.argsort(d_rr, axis=1)[:, :k]
+    rows = np.arange(n_ref)[:, None]
+    kdist = d_rr[rows, nn_idx][:, -1]  # k-distance per ref point
+    reach_rr = np.maximum(kdist[nn_idx], d_rr[rows, nn_idx])
+    lrd_ref = 1.0 / (reach_rr.mean(axis=1) + 1e-12)
+
+    r2 = np.einsum("ij,ij->i", r, r)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[EMB_COL].to_numpy()).astype(np.float64)
+            d = np.sqrt(
+                np.maximum(
+                    np.einsum("ij,ij->i", x, x)[:, None] + r2[None, :] - 2.0 * (x @ r.T), 0.0
+                )
+            )
+            idx = np.argsort(d, axis=1)[:, :k]
+            rws = np.arange(len(x))[:, None]
+            reach = np.maximum(kdist[idx], d[rws, idx])
+            lrd_p = 1.0 / (reach.mean(axis=1) + 1e-12)
+            lof = lrd_ref[idx].mean(axis=1) / lrd_p
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "lof_score": np.round(lof, 6)}
+            )
+
+    return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, lof_score double")

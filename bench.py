@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "cvm_drift",
     "chi2_drift",
     "mmd_drift",
+    "mmd_perm_test",
     "fet_drift",
     "tabular_drift",
     "uncertainty_drift",
@@ -41,6 +42,7 @@ BENCH_QUERIES = [
     "knn_ensemble",
     "pca_outlier",
     "gmm_outlier",
+    "lof_outlier",
     "sr_saliency",
     "mmd_online",
     "fet_online",

@@ -141,3 +141,28 @@ def test_reservoir_sampling_uniformity():
     # 'last' policy keeps the tail
     ref = update_reference(np.arange(10.0)[:, None], np.arange(10.0, 20.0)[:, None], 10, {"last": 5})
     assert (ref[:, 0] == np.arange(15.0, 20.0)).all()
+
+
+def test_inject_outlier_ts_and_permutation_test():
+    import numpy as np
+    from alibi_detect_spark.functions.perturbation import (
+        inject_outlier_ts,
+        mmd2_unbiased,
+        permutation_test,
+    )
+
+    t = np.linspace(0, 0.5, 1000)
+    x = np.sin(40 * 2 * np.pi * t) + 0.5 * np.sin(90 * 2 * np.pi * t)
+    xp, lab = inject_outlier_ts(x, perc_outlier=5, perc_window=10, n_std=4.0, min_std=3.0, seed=1)
+    assert lab.sum() == 50
+    assert (np.abs(xp - x)[lab == 1] > 0).all()
+    assert (xp[lab == 0] == x[lab == 0]).all()
+
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((100, 1))
+    b_same = rng.standard_normal((100, 1))
+    b_shift = rng.standard_normal((100, 1)) + 1.5
+    p_same, _, _ = permutation_test(a, b_same, mmd2_unbiased, n_permutations=200, seed=3, sigma=1.0)
+    p_shift, _, _ = permutation_test(a, b_shift, mmd2_unbiased, n_permutations=200, seed=3, sigma=1.0)
+    assert p_same > 0.05
+    assert p_shift < 0.01

@@ -101,3 +101,24 @@ def test_gmm_outlier_scores(spark):
     s = scores["gmm_score"].to_numpy()
     thr = np.percentile(s, 99)
     assert set(out_idx) <= set(np.where(s > thr)[0])
+
+
+def test_lof_outlier_scores(spark):
+    """LOF (od/_lof.py semantics): isolated instances score > 1, cluster ~1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from alibi_detect_spark.operators.outlier import lof_outlier_scores
+
+    rng = np.random.default_rng(51)
+    x = rng.standard_normal((300, 4))
+    out_idx = [10, 150, 299]
+    x[out_idx] += np.array([[8.0, 0, 0, 0], [0, 9.0, 0, 0], [0, 0, 10.0, 0]])
+    pdf = [(int(i), [float(v) for v in row]) for i, row in enumerate(x)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    # ref excludes the outliers so neighbourhood stats are clean
+    ref_pred = (F.col("vec_id") % 2 == 0) & ~F.col("vec_id").isin(*out_idx)
+    got = lof_outlier_scores(df, ref_pred, k=10).toPandas().sort_values("vec_id")
+    s = got["lof_score"].to_numpy()
+    thr = np.percentile(s, 99)
+    assert set(out_idx) <= set(np.where(s > thr)[0])
+    assert np.median(s) < 1.3  # inliers near 1
