@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mmd_perm_test"] = lambda s, sf: drift.mmd_perm_test(
         _events_labeled(s, sf), "value", n_per_side=256, sigma=5.0, order_col="event_id"
     )
+    q["lsdd_perm_test"] = lambda s, sf: drift.lsdd_perm_test(
+        _events_labeled(s, sf), "value", n_per_side=256, order_col="event_id"
+    )
     q["uncertainty_drift"] = lambda s, sf: drift.uncertainty_drift(
         _t(s, sf, "embeddings").withColumn(
             "sample",

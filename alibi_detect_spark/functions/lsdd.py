@@ -72,6 +72,50 @@ def permed_lsdds(
     return lsdd_perms, h_lam_inv
 
 
+def lsdd_2samp(
+    x_ref: np.ndarray,
+    x: np.ndarray,
+    n_permutations: int = 100,
+    n_kernel_centers: int | None = None,
+    lambda_rd_max: float = 0.2,
+    seed: int = 0,
+    eps: float = 1e-12,
+) -> tuple[float, float]:
+    """Offline LSDD two-sample test with a permutation p-value — NumPy recast
+    of ``alibi_detect/cd/pytorch/lsdd.py:13-135``: normalize by ref moments,
+    kernel centers from the ref, λ-regularized H inverse inferred once, stat
+    and permutation null both via :func:`permed_lsdds`. Returns (p, stat)."""
+    x_ref = np.atleast_2d(np.asarray(x_ref, dtype=np.float64))
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    n, m = x_ref.shape[0], x.shape[0]
+    nkc = n_kernel_centers if n_kernel_centers is not None else max(2, n // 4)
+
+    mean, std = x_ref.mean(axis=0), x_ref.std(axis=0, ddof=1)
+    ref_n = (x_ref - mean) / (std + eps)
+    x_n = (x - mean) / (std + eps)
+
+    d2 = squared_pairwise_distance(ref_n, ref_n)
+    sigma = median_heuristic_sigma(ref_n, ref_n, d2)
+    if not np.isfinite(sigma) or sigma <= 0:
+        sigma = 1.0
+    centers = ref_n[rng.permutation(n)[:nkc]]
+    pooled = np.concatenate([ref_n, x_n], axis=0)
+    k_all_c = _rbf(pooled, centers, sigma)
+    h_mat = _rbf(centers, centers, np.sqrt(2.0) * sigma)
+
+    ident = [np.arange(n)]
+    ident_y = [np.arange(n, n + m)]
+    stat_arr, h_lam_inv = permed_lsdds(k_all_c, ident, ident_y, h_mat, lam_rd_max=lambda_rd_max)
+    stat = float(stat_arr[0])
+    perms = [rng.permutation(n + m) for _ in range(n_permutations)]
+    perm_stats, _ = permed_lsdds(
+        k_all_c, [p[:n] for p in perms], [p[n:] for p in perms], h_mat, h_lam_inv=h_lam_inv
+    )
+    p_val = float((stat <= perm_stats).mean())
+    return p_val, stat
+
+
 @dataclass
 class OnlineLSDDState:
     t: int

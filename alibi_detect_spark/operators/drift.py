@@ -422,3 +422,47 @@ def mmd_perm_test(
     return sub.groupBy().applyInPandas(
         fn, schema="n_ref long, n_test long, mmd2 double, p_value double"
     )
+
+
+def lsdd_perm_test(
+    df: DataFrame,
+    value: str,
+    sample: str = "sample",
+    n_per_side: int = 256,
+    n_permutations: int = 100,
+    seed: int = 42,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Offline LSDD drift with a permutation p-value
+    (``alibi_detect/cd/pytorch/lsdd.py:13-135``): deterministic head
+    subsamples per side, one Arrow group running the seeded NumPy kernel."""
+    import pandas as pd
+
+    from ..functions.lsdd import lsdd_2samp
+
+    oc = order_col or value
+    w = Window.partitionBy("s").orderBy("o")
+    sub = (
+        df.select(F.col(sample).alias("s"), F.col(value).cast("double").alias("v"), F.col(oc).alias("o"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_side)
+        .select("s", "v", "rn")
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["s", "rn"], kind="mergesort")
+        x = pdf[pdf["s"] == "ref"]["v"].to_numpy()[:, None]
+        y = pdf[pdf["s"] != "ref"]["v"].to_numpy()[:, None]
+        p, stat = lsdd_2samp(x, y, n_permutations=n_permutations, seed=seed)
+        return pd.DataFrame(
+            {
+                "n_ref": [len(x)],
+                "n_test": [len(y)],
+                "lsdd_stat": [round(stat, 6)],
+                "p_value": [round(p, 6)],
+            }
+        )
+
+    return sub.groupBy().applyInPandas(
+        fn, schema="n_ref long, n_test long, lsdd_stat double, p_value double"
+    )

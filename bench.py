@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "chi2_drift",
     "mmd_drift",
     "mmd_perm_test",
+    "lsdd_perm_test",
     "fet_drift",
     "tabular_drift",
     "uncertainty_drift",

@@ -182,3 +182,14 @@ def test_lsdd_chunked_resume(lsdd_det):
     b, _, _, _ = lsdd_det.score_stream(xs[41:], state=st)
     got = np.concatenate([a, b])
     assert np.array_equal(got.view(np.uint64), full.view(np.uint64))
+
+
+def test_lsdd_offline_perm_test():
+    from alibi_detect_spark.functions.lsdd import lsdd_2samp
+
+    rng = np.random.default_rng(61)
+    a = rng.standard_normal((150, 2))
+    p_same, _ = lsdd_2samp(a, rng.standard_normal((150, 2)), n_permutations=100, seed=62)
+    p_shift, _ = lsdd_2samp(a, rng.standard_normal((150, 2)) + 1.5, n_permutations=100, seed=62)
+    assert p_same > 0.05
+    assert p_shift < 0.02
