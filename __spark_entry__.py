@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lof_outlier"] = lambda s, sf: outlier.lof_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, k=10
     )
+    q["kpca_outlier"] = lambda s, sf: outlier.kernel_pca_outlier_scores(
+        _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=4
+    )
     q["sr_saliency"] = lambda s, sf: (
         score_rollup(_events_as_rollup(s, sf)).select(
             "source", "bucket_ts", F.round("sr_score", 6).alias("sr_score"), "is_outlier"

@@ -130,3 +130,56 @@ def lof_outlier_scores(
             )
 
     return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, lof_score double")
+
+
+def kernel_pca_outlier_scores(
+    emb: DataFrame,
+    ref_pred,
+    n_components: int = 4,
+    sigma: float | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Kernel-PCA outlier score (``alibi_detect/od/pytorch/pca.py:173-268``,
+    ``KernelPCATorch``): centered RBF kernel matrix on the reference,
+    principal components normalized by 1/√eigenvalue, score =
+    ``−2·mean(k_xr) − ‖projection‖²`` (unlike the linear case, the TOP
+    components are kept). Fit on the broadcast reference, one corpus scan."""
+    from ..functions.mmd import median_heuristic_sigma, rbf_kernel, squared_pairwise_distance
+
+    _, _, r = _collect_matrix(emb, ref_pred, id_col)
+    n = r.shape[0]
+    if n_components >= n:
+        raise ValueError("n_components must be less than the number of reference instances")
+    if sigma is None:
+        d2 = squared_pairwise_distance(r, r)
+        sigma = median_heuristic_sigma(r, r, d2)
+        if not np.isfinite(sigma) or sigma <= 0:
+            sigma = 1.0
+    k = rbf_kernel(r, r, sigma)
+    k_col_sums = k.sum(axis=0)
+    k_row_sums = k.sum(axis=1)
+    k_sum = k_row_sums.sum()
+    k_cen = k - k_col_sums[None, :] / n - k_row_sums[:, None] / n + k_sum / (n * n)
+    d_eig, v = np.linalg.eigh(k_cen)
+    # guard tiny/negative eigenvalues before the 1/sqrt normalization
+    d_eig = np.maximum(d_eig, 1e-12)
+    pcs = (v / np.sqrt(d_eig)[None, :])[:, -n_components:]
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[EMB_COL].to_numpy()).astype(np.float64)
+            k_xr = rbf_kernel(x, r, sigma)
+            row_sums = k_xr.sum(axis=1)
+            m = k_xr.shape[1]
+            k_xr_cen = (
+                k_xr - k_col_sums[None, :] / m - row_sums[:, None] / x.shape[0] + k_sum / (m * x.shape[0])
+            )
+            proj = k_xr_cen @ pcs
+            scores = -2.0 * k_xr.mean(axis=-1) - (proj**2).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "kpca_score": np.round(scores, 6)}
+            )
+
+    return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, kpca_score double")

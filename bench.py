@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "pca_outlier",
     "gmm_outlier",
     "lof_outlier",
+    "kpca_outlier",
     "sr_saliency",
     "mmd_online",
     "fet_online",

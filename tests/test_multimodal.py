@@ -122,3 +122,24 @@ def test_lof_outlier_scores(spark):
     thr = np.percentile(s, 99)
     assert set(out_idx) <= set(np.where(s > thr)[0])
     assert np.median(s) < 1.3  # inliers near 1
+
+
+def test_kernel_pca_outlier_scores(spark):
+    """Kernel-PCA outlier (od/pytorch/pca.py KernelPCATorch semantics):
+    off-manifold instances score high (less captured by top components)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from alibi_detect_spark.operators.outlier import kernel_pca_outlier_scores
+
+    rng = np.random.default_rng(71)
+    theta = rng.uniform(0, 2 * np.pi, 400)
+    x = np.stack([np.cos(theta), np.sin(theta), 0.05 * rng.standard_normal(400), 0.05 * rng.standard_normal(400)], 1)
+    out_idx = [20, 200, 380]
+    x[out_idx] = rng.standard_normal((3, 4)) * 0.1 + np.array([4.0, 4.0, 0, 0])
+    pdf = [(int(i), [float(v) for v in row]) for i, row in enumerate(x)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    ref_pred = (F.col("vec_id") % 2 == 0) & ~F.col("vec_id").isin(*out_idx)
+    got = kernel_pca_outlier_scores(df, ref_pred, n_components=4).toPandas().sort_values("vec_id")
+    s = got["kpca_score"].to_numpy()
+    thr = np.percentile(s, 99)
+    assert set(out_idx) <= set(np.where(s > thr)[0])
