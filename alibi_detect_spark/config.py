@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from .operators import ann, dedup, drift, textstats
+from .operators import ann, dedup, drift, outlier, textstats
 from .operators.detect import (
     cvm_online_over,
     ewma_over,
@@ -28,6 +28,7 @@ from .operators.detect import (
     lsdd_online_over,
     mahalanobis_online_over,
     score_rollup,
+    seasonal_band_outliers,
 )
 from .operators.gapfill import gapfill
 from .operators.rollup import (
@@ -52,6 +53,10 @@ REGISTRY: dict[str, Callable] = {
     "cvm_online_over": cvm_online_over,
     "lsdd_online_over": lsdd_online_over,
     "mahalanobis_online_over": mahalanobis_online_over,
+    "seasonal_band_outliers": seasonal_band_outliers,
+    "embedding_near_pairs": dedup.embedding_near_pairs,
+    "mmd_perm_test": drift.mmd_perm_test,
+    "lsdd_perm_test": drift.lsdd_perm_test,
     "ks_2samp": drift.ks_2samp,
     "cvm_2samp": drift.cvm_2samp,
     "chi2_contingency": drift.chi2_contingency,
@@ -75,6 +80,11 @@ ANN_REGISTRY = {
     "cosine_topk": ann.cosine_topk,
     "cosine_topk_ivf": ann.cosine_topk_ivf,
     "knn_outlier_scores": ann.knn_outlier_scores,
+    "knn_ensemble_scores": ann.knn_ensemble_scores,
+    "pca_outlier_scores": outlier.pca_outlier_scores,
+    "kernel_pca_outlier_scores": outlier.kernel_pca_outlier_scores,
+    "gmm_outlier_scores": outlier.gmm_outlier_scores,
+    "lof_outlier_scores": outlier.lof_outlier_scores,
 }
 
 
