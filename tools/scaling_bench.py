@@ -69,6 +69,7 @@ def main() -> None:
     ap.add_argument("--sources", type=int, default=64)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_scaling.json"))
     ap.add_argument("--raw-path", default=None, help="reuse a pre-generated input instead of regenerating")
+    ap.add_argument("--rows-per-bucket", type=int, default=4096)
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="adspark_scale_")
@@ -97,7 +98,7 @@ def main() -> None:
             # denser buckets (4096 slots/bucket) so map-side combine genuinely
             # reduces: ~50k groups vs ~750k rows/task → the shuffle carries
             # partials, not the raw stream (the 100 TB-realistic agg shape)
-            cfg = SynthConfig(n_rows=args.rows, n_sources=args.sources, rows_per_bucket=4096)
+            cfg = SynthConfig(n_rows=args.rows, n_sources=args.sources, rows_per_bucket=args.rows_per_bucket)
             synth_dataframe(spark, cfg, with_tokens=False, num_partitions=256).write.mode(
                 "overwrite"
             ).parquet(raw_path)
