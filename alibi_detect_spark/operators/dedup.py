@@ -39,13 +39,19 @@ def words_col(text: str = "text"):
 
 
 def shingles_col(text: str = "text", n: int = 3):
-    """Distinct word n-gram shingles as an array column."""
+    """Distinct word n-gram shingles as an array column. Documents shorter
+    than ``n`` words yield an EMPTY array (matching the SQL oracle's
+    ``generate_series(1, len-n+1)`` which is empty when len < n) — the
+    ``F.when`` guard is load-bearing: ``sequence(0, size-n)`` with
+    ``size-n < 0`` would produce a descending sequence whose 0 index makes
+    ``element_at`` throw INVALID_INDEX_OF_ZERO."""
     w = words_col(text)
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1))),
+        F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return F.array_distinct(grams)
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(empty))
 
 
 def _h60(col):

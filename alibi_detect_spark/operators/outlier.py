@@ -173,8 +173,16 @@ def kernel_pca_outlier_scores(
             k_xr = rbf_kernel(x, r, sigma)
             row_sums = k_xr.sum(axis=1)
             m = k_xr.shape[1]
+            # Batch-independent centering: every term is normalized by the
+            # REFERENCE size m, never the Arrow batch size, so scores are
+            # invariant to partitioning/batch boundaries. (The reference's
+            # od/pytorch/pca.py:239-243 divides the row term by the test batch
+            # size; in exact arithmetic that term cancels against the
+            # projection — top eigenvectors of the centered kernel are
+            # orthogonal to 1 — so this deviation only removes the ulp-level
+            # batch sensitivity, it does not change the scores.)
             k_xr_cen = (
-                k_xr - k_col_sums[None, :] / m - row_sums[:, None] / x.shape[0] + k_sum / (m * x.shape[0])
+                k_xr - k_col_sums[None, :] / m - row_sums[:, None] / m + k_sum / (m * m)
             )
             proj = k_xr_cen @ pcs
             scores = -2.0 * k_xr.mean(axis=-1) - (proj**2).sum(axis=1)
