@@ -26,6 +26,7 @@ from alibi_detect_spark.operators.detect import (  # noqa: E402
     fet_online_over,
     lsdd_online_over,
     mahalanobis_online_over,
+    mmd_online_stats_over,
     score_rollup,
     seasonal_band_outliers,
 )
@@ -239,14 +240,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source", "bucket_ts", F.round("sr_score", 6).alias("sr_score"), "is_outlier"
         )
     )
-    q["mmd_online"] = lambda s, sf: (
-        score_rollup(_events_as_rollup(s, sf)).select(
-            "source",
-            "bucket_ts",
-            F.round("mmd_stat", 6).alias("mmd_stat"),
-            F.round("mmd_threshold", 6).alias("mmd_threshold"),
-            "mmd_is_drift",
-        )
+    # deterministic-split online-MMD stat trajectory (SQL-oracle-checkable;
+    # the seeded bootstrap detector with thresholds stays in score_rollup +
+    # pytest, and in the online_decisions query below)
+    q["mmd_online"] = lambda s, sf: mmd_online_stats_over(
+        _events_as_rollup(s, sf), "source", "bucket_ts", "sum_n_tok",
+        n_ref=64, window_size=10, sigma=5.0,
     )
 
     q["seasonal_bands"] = lambda s, sf: seasonal_band_outliers(
@@ -277,22 +276,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _events_labeled(s, sf).withColumn("bit", (F.col("value") >= 10.0).cast("int")),
         "bit",
     )
-    q["fet_online"] = lambda s, sf: fet_online_over(
-        _t(s, sf, "events").select(
+    def _events_bits(s, sf):
+        return _t(s, sf, "events").select(
             "event_type",
             F.col("event_id").alias("seq"),
             (F.col("value") >= 10.0).cast("int").alias("bit"),
-        ),
-        "event_type",
-        "seq",
-        "bit",
+        )
+
+    # stat-only projections of the online detectors: the smoothed FET p-value
+    # trajectory and the normalised CVM window stats are closed-form functions
+    # of the data (no RNG), so they hash-match the DuckDB oracle; thresholds
+    # and drift decisions (seeded bootstrap) are exercised by online_decisions
+    # (rows-only) and the behavioral pytest suite.
+    fin = lambda c: F.col(c).isNotNull() & ~F.isnan(c)  # noqa: E731
+    q["fet_online"] = lambda s, sf: (
+        fet_online_over(_events_bits(s, sf), "event_type", "seq", "bit")
+        .where(fin("fet_stat"))
+        .select("event_type", "seq", F.round("fet_stat", 6).alias("fet_stat"))
     )
-    q["cvm_online"] = lambda s, sf: cvm_online_over(
-        metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
-        "event_type",
-        "bucket_ts",
-        "avg_value",
+    q["cvm_online"] = lambda s, sf: (
+        cvm_online_over(
+            metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
+            "event_type",
+            "bucket_ts",
+            "avg_value",
+        )
+        .where(fin("cvm_stat"))
+        .select("event_type", "bucket_ts", F.round("cvm_stat", 6).alias("cvm_stat"))
     )
+
+    def online_decisions(s, sf):
+        """Threshold + drift decision path of the online detectors (seeded
+        bootstrap thresholds — not SQL-expressible; rows-only check): per-key
+        drift counts from the CVM and FET online detectors."""
+        cvm = (
+            cvm_online_over(
+                metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
+                "event_type", "bucket_ts", "avg_value",
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.when(fin("cvm_stat"), 1).otherwise(0)).alias("n_scored"),
+                F.sum("cvm_is_drift").alias("n_drift"),
+            )
+            .select(F.lit("cvm").alias("detector"), "event_type", "n_scored", "n_drift")
+        )
+        fet = (
+            fet_online_over(_events_bits(s, sf), "event_type", "seq", "bit")
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.when(fin("fet_stat"), 1).otherwise(0)).alias("n_scored"),
+                F.sum("fet_is_drift").alias("n_drift"),
+            )
+            .select(F.lit("fet").alias("detector"), "event_type", "n_scored", "n_drift")
+        )
+        return cvm.unionByName(fet)
+
+    q["online_decisions"] = online_decisions
 
     # --- dedup family ----------------------------------------------------
     q["dedup_exact_prefix"] = lambda s, sf: dedup.exact_dup_groups(
@@ -803,8 +843,10 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
     o["dedup_ngram_jaccard"] = f"""
 WITH sh0 AS ({_SHINGLES}),
-sh AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle),1,15)) AS BIGINT) AS h60
-       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh0)),
+shall AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle),1,15)) AS BIGINT) AS h60
+          FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh0)),
+hot AS (SELECT h60 FROM shall GROUP BY 1 HAVING count(*) > 100),
+sh AS (SELECT * FROM shall WHERE h60 NOT IN (SELECT h60 FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
            FROM sh a JOIN sh b ON a.h60 = b.h60 AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -911,7 +953,143 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2
 """
 
-    # sr_saliency / mmd_online: FFT + seeded-bootstrap detectors — not
-    # SQL-expressible; the driver records rows-only checks, and the NumPy
+    # --- online detector stat trajectories (closed-form, RNG-free) --------
+
+    o["cvm_online"] = f"""
+WITH r AS ({_ROLLUP_1H}),
+s AS (SELECT event_type, bucket_ts, avg_value AS v,
+             row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn
+      FROM r),
+agg AS (SELECT event_type, list(v ORDER BY rn) AS vals FROM s GROUP BY 1),
+base AS (SELECT event_type, vals[1:100] AS ref, vals[101:] AS stream FROM agg
+         WHERE len(vals) > 110),
+refcdf AS (SELECT event_type, ref, stream,
+                  list_transform(ref, p -> len(list_filter(ref, x -> x <= p))/100.0) AS fr
+           FROM base),
+ends AS (SELECT event_type, ref, stream, fr,
+                unnest(generate_series(10, len(stream))) AS t
+         FROM refcdf),
+win AS (SELECT event_type, ref, fr, t, stream[t-9:t] AS w FROM ends),
+terms AS (SELECT event_type, t,
+    list_reduce(list_transform(
+        list_transform(ref, (p, i) -> fr[i] - len(list_filter(w, x -> x <= p))/10.0),
+        d -> d*d), (a, b) -> a + b)
+  + list_reduce(list_transform(
+        list_transform(w, p -> len(list_filter(ref, x -> x <= p))/100.0
+                              - len(list_filter(w, x -> x <= p))/10.0),
+        d -> d*d), (a, b) -> a + b) AS s2
+  FROM win)
+SELECT s.event_type AS event_type, s.bucket_ts AS bucket_ts,
+       round((s2 * (100.0*10.0/(110.0*110.0)) - (1.0/6.0 + 1.0/(6.0*110.0)))
+             / sqrt(((110.0+1.0)*(4.0*100.0*10.0*110.0 - 3.0*(100.0*100.0+10.0*10.0)
+                                  - 2.0*100.0*10.0))
+                    / (45.0*110.0*110.0*4.0*100.0*10.0)), 6) AS cvm_stat
+FROM terms JOIN s ON s.event_type = terms.event_type AND s.rn = 100 + terms.t
+"""
+
+    o["fet_online"] = """
+WITH RECURSIVE
+lab AS (SELECT event_type, event_id AS seq,
+               CASE WHEN value >= 10.0 THEN 1 ELSE 0 END AS bit FROM events),
+o AS (SELECT event_type, seq, bit,
+             row_number() OVER (PARTITION BY event_type ORDER BY seq) AS rn
+      FROM lab),
+refs AS (SELECT event_type, CAST(sum(bit) AS BIGINT) AS sum_ref FROM o WHERE rn <= 200 GROUP BY 1
+         HAVING sum(bit) > 0 AND sum(bit) < 200),
+nn AS (SELECT event_type, count(*) AS n_all FROM o GROUP BY 1),
+stream AS (SELECT o.event_type, o.seq, o.bit, o.rn - 200 AS t, r.sum_ref
+           FROM o JOIN refs r USING (event_type) JOIN nn USING (event_type)
+           WHERE o.rn > 200 AND nn.n_all > 215),
+ws AS (SELECT event_type, seq, t, sum_ref,
+              CAST(sum(bit) OVER (PARTITION BY event_type ORDER BY t
+                             ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS BIGINT) AS wsum
+       FROM stream),
+raw AS (SELECT event_type, seq, t,
+        1.0 - list_reduce(list_transform(
+              generate_series(greatest(wsum, greatest(0, sum_ref + wsum - 200)),
+                              least(sum_ref + wsum, 15)),
+              x -> exp( lgamma(sum_ref + wsum + 1) - lgamma(x + 1)
+                      - lgamma(sum_ref + wsum - x + 1)
+                      + lgamma(215 - sum_ref - wsum + 1) - lgamma(15 - x + 1)
+                      - lgamma(215 - sum_ref - wsum - (15 - x) + 1)
+                      - (lgamma(216) - lgamma(16) - lgamma(201)) )),
+              (a, b) -> a + b) AS stat
+        FROM ws WHERE t >= 15),
+rec AS (
+  SELECT event_type, seq, t, stat AS e FROM raw WHERE t = 15
+  UNION ALL
+  SELECT r2.event_type, r2.seq, r2.t, (1 - 0.99) * rec.e + 0.99 * r2.stat
+  FROM rec JOIN raw r2 ON r2.event_type = rec.event_type AND r2.t = rec.t + 1
+)
+SELECT event_type, seq, round(e, 6) AS fet_stat FROM rec
+"""
+
+    o["mmd_online"] = """
+WITH r AS (SELECT event_type AS source,
+                  CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+                  CAST(count(*) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+s AS (SELECT source, bucket_ts, v,
+             row_number() OVER (PARTITION BY source ORDER BY bucket_ts) AS rn FROM r),
+agg AS (SELECT source, list(v ORDER BY rn) AS vals FROM s GROUP BY 1),
+base AS (SELECT source, vals[1:54] AS sub, vals[55:] AS e, len(vals) - 64 AS m
+         FROM agg WHERE len(vals) > 74),
+kfit AS (SELECT source, sub, e, m,
+    list_reduce(list_transform(sub, (a, i) ->
+        list_reduce(list_transform(sub, (b, j) ->
+            CASE WHEN i = j THEN 0.0 ELSE exp(-((a-b)*(a-b))/50.0) END),
+          (x, y) -> x + y)),
+      (x, y) -> x + y) / (54.0 * 53.0) AS kxx_sub,
+    list_transform(e, p ->
+        list_reduce(list_transform(sub, a -> exp(-((a-p)*(a-p))/50.0)),
+          (x, y) -> x + y) / 54.0) AS kc
+    FROM base),
+steps AS (SELECT source, e, kc, kxx_sub, unnest(generate_series(1, m)) AS i FROM kfit),
+stat AS (SELECT source, i,
+    kxx_sub
+    + list_reduce(list_transform(generate_series(1, 9), d ->
+        list_reduce(list_transform(generate_series(i + 1, i + 10 - d), p ->
+            2.0 * exp(-((e[p] - e[p + d]) * (e[p] - e[p + d])) / 50.0)),
+          (x, y) -> x + y)),
+      (x, y) -> x + y) / 90.0
+    - 2.0 * (list_reduce(list_transform(generate_series(i + 1, i + 10), p -> kc[p]),
+             (x, y) -> x + y) / 10.0) AS mmd2
+    FROM steps)
+SELECT s.source AS source, s.bucket_ts AS bucket_ts, round(stat.mmd2, 6) AS mmd_stat
+FROM stat JOIN s ON s.source = stat.source AND s.rn = 64 + stat.i
+"""
+
+    _SQD = "list_reduce(list_transform(generate_series(1,64), i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"
+    o["lof_outlier"] = f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+ref AS (SELECT vec_id AS ref_id, v AS rv FROM base WHERE vec_id % 5 = 0),
+drr AS (SELECT a.ref_id AS ia, b.ref_id AS ib,
+               round(sqrt({_SQD.format(a='a.rv', b='b.rv')}), 6) AS dist
+        FROM ref a JOIN ref b ON a.ref_id <> b.ref_id),
+rk AS (SELECT ia, ib, dist, row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rn
+       FROM drr),
+nn AS (SELECT ia, ib, dist FROM rk WHERE rn <= 10),
+kd AS (SELECT ia AS ref_id, max(dist) AS kdist FROM nn GROUP BY 1),
+lrd AS (SELECT nn.ia AS ref_id, 1.0/(avg(greatest(kb.kdist, nn.dist)) + 1e-12) AS lrd
+        FROM nn JOIN kd kb ON kb.ref_id = nn.ib GROUP BY 1),
+pd AS (SELECT t.vec_id, r.ref_id,
+              round(sqrt({_SQD.format(a='t.v', b='r.rv')}), 6) AS dist
+       FROM base t CROSS JOIN ref r),
+prk AS (SELECT vec_id, ref_id, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, ref_id) AS rn
+        FROM pd),
+pnn AS (SELECT vec_id, ref_id, dist FROM prk WHERE rn <= 10),
+st AS (SELECT p.vec_id,
+              1.0/(avg(greatest(kd.kdist, p.dist)) + 1e-12) AS lrd_p,
+              avg(l.lrd) AS mean_lrd_ref
+       FROM pnn p JOIN kd ON kd.ref_id = p.ref_id JOIN lrd l ON l.ref_id = p.ref_id
+       GROUP BY 1)
+SELECT vec_id, round(mean_lrd_ref / lrd_p, 6) AS lof_score FROM st
+"""
+
+    # sr_saliency (FFT), pca/gmm/kpca (eigendecomposition / EM),
+    # lsdd_online / mahalanobis_online (matrix inverses), the *_perm_test
+    # p-values and online_decisions (seeded bootstrap thresholds): not
+    # SQL-expressible — the driver records rows-only checks, and the NumPy
     # bit-match tests in tests/ cover their numerics.
     return o

@@ -191,9 +191,17 @@ def cosine_topk_ivf(
 ) -> DataFrame:
     """IVF-style pruned cosine top-k: candidates restricted to the query's
     coarse cell (here the precomputed ``label`` partitioner; in production the
-    cell id comes from a broadcast-centroid argmin). At 10^12 vectors the
-    corpus stays partitioned by cell and each query touches 1/n_cells of it;
-    in this scan form the prune is a mask before the top-k select."""
+    cell id comes from a broadcast-centroid argmin).
+
+    The prune happens BEFORE the scan: the queried cell set is tiny (it is
+    bounded by the broadcastable query set), so it goes into the scan plan as
+    an ``isin`` filter that Catalyst pushes into the parquet source
+    (``PushedFilters: [In(label, ...)]`` — asserted by tools/audit_plans.py).
+    On a corpus partitioned by cell this is partition pruning: each query
+    batch touches 1/n_cells of 10^12 vectors instead of masking rows after a
+    full scan. The in-batch cell mask remains as the per-query tie-breaker."""
     qpdf, q_ids, qm = _collect_matrix(emb, query_pred, id_col, extra=[cell_col])
     q_cells = qpdf[cell_col].to_numpy()
-    return _topk_scan(emb, q_ids, qm, q_cells, k, id_col, cell_col)
+    cells = sorted({c.item() if hasattr(c, "item") else c for c in q_cells})
+    pruned = emb.where(F.col(cell_col).isin(cells))
+    return _topk_scan(pruned, q_ids, qm, q_cells, k, id_col, cell_col)

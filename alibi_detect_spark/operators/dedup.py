@@ -94,17 +94,34 @@ def exact_dup_groups(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, text: str = "text", n: int = 3, threshold: float = 0.05
+    docs: DataFrame, text: str = "text", n: int = 3, threshold: float = 0.05,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
     explode distinct shingles → self-join on the 60-bit shingle key →
     |A∩B| by count → J = common / (|A| + |B| − common).
 
-    This is the EXACT (quadratic-in-collisions) baseline; the scale path is
-    :func:`minhash_lsh_pairs`, which bounds candidate generation by LSH bucket
-    instead of raw shingle collision.
+    ``max_df`` is the hot-shingle guard: shingles appearing in more than
+    ``max_df`` documents (boilerplate) are dropped from the shingle universe
+    BEFORE the self-join — a shingle shared by 10⁶ docs would otherwise emit
+    10¹² candidate rows. The hot set is tiny by construction (df > cap), so
+    it ships as a broadcast anti-join: no extra shuffle. Jaccard is then
+    exact over the capped universe (sizes counted after the cap, both here
+    and in the SQL oracle). ``max_df=None`` disables the guard.
+
+    This remains the exact (quadratic-in-collisions) baseline; the scale path
+    is :func:`minhash_lsh_pairs`, which bounds candidate generation by LSH
+    bucket instead of raw shingle collision.
     """
     sh = exploded_shingles(docs, text, n).select("doc_id", "h60")
+    if max_df is not None:
+        hot = (
+            sh.groupBy("h60")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("h60")
+        )
+        sh = sh.join(F.broadcast(hot), "h60", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h60")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h60")

@@ -251,22 +251,36 @@ def mahalanobis_online_over(
     return df.select(key, order_col, *value_cols).groupBy(key).applyInPandas(fn, schema=schema)
 
 
+def _window_stat_cols(prefix: str, window_sizes: tuple[int, ...]) -> list[str]:
+    """Per-window stat column names: ``{prefix}_stat`` for a single window
+    (back-compat), ``{prefix}_stat_w{ws}`` each for multiple windows."""
+    if len(window_sizes) == 1:
+        return [f"{prefix}_stat"]
+    return [f"{prefix}_stat_w{w}" for w in window_sizes]
+
+
 def fet_online_over(
     df: DataFrame,
     key: str,
     order_col: str,
     bit_col: str,
     ert: float = 100.0,
-    window_size: int = 15,
+    window_sizes: tuple[int, ...] = (15,),
     n_ref: int = 200,
     n_bootstraps: int = 1500,
     base_seed: int = 42,
 ) -> DataFrame:
     """Online Fisher-exact drift over a per-key Bernoulli stream
     (``cd/fet_online.py``): ref = first ``n_ref`` bits, seeded per-key fit on
-    the executor (deterministic: seed is a function of the key, not task
-    order), EWMA-smoothed window p-value stats vs conditional thresholds."""
+    the executor (FET thresholds depend on the reference bits, so the fit is
+    necessarily per key — the seed is a function of the key, never task
+    order), EWMA-smoothed per-window p-value stats vs conditional thresholds;
+    drift when the max over windows exceeds the per-step threshold
+    (``cd/base_online.py:221`` multi-window semantics)."""
     from ..functions.fet import OnlineFET
+
+    window_sizes = tuple(int(w) for w in window_sizes)
+    stat_cols = _window_stat_cols("fet", window_sizes)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
@@ -274,23 +288,26 @@ def fet_online_over(
         bits = pdf[bit_col].to_numpy(dtype=np.int64)
         n = len(bits)
         out = pd.DataFrame({key: pdf[key].to_numpy(), order_col: pdf[order_col].to_numpy()})
-        if n <= n_ref + window_size or not 0 < bits[:n_ref].sum() < n_ref:
-            out["fet_stat"] = np.nan
+        if n <= n_ref + max(window_sizes) or not 0 < bits[:n_ref].sum() < n_ref:
+            for c in stat_cols:
+                out[c] = np.nan
             out["fet_threshold"] = np.nan
             out["fet_is_drift"] = np.int32(0)
             return out
         det = OnlineFET.fit(
-            bits[:n_ref], ert=ert, window_size=window_size,
+            bits[:n_ref], ert=ert, window_sizes=window_sizes,
             n_bootstraps=n_bootstraps, seed=source_seed(str(k), base_seed),
         )
         stats, thr, drift, _ = det.score_stream(bits[n_ref:])
         pad = np.full(n_ref, np.nan)
-        out["fet_stat"] = np.concatenate([pad, stats])
+        for j, c in enumerate(stat_cols):
+            out[c] = np.concatenate([pad, stats[:, j]])
         out["fet_threshold"] = np.concatenate([pad, thr])
         out["fet_is_drift"] = np.concatenate([np.zeros(n_ref, dtype=np.int32), drift]).astype(np.int32)
         return out
 
-    schema = f"{key} string, {order_col} long, fet_stat double, fet_threshold double, fet_is_drift int"
+    stat_schema = ", ".join(f"{c} double" for c in stat_cols)
+    schema = f"{key} string, {order_col} long, {stat_schema}, fet_threshold double, fet_is_drift int"
     return df.select(key, order_col, bit_col).groupBy(key).applyInPandas(fn, schema=schema)
 
 
@@ -300,39 +317,118 @@ def cvm_online_over(
     order_col: str,
     value: str,
     ert: float = 50.0,
-    window_size: int = 10,
+    window_sizes: tuple[int, ...] = (10,),
     n_ref: int = 100,
     n_bootstraps: int = 400,
     base_seed: int = 42,
 ) -> DataFrame:
     """Online Cramér–von Mises drift over a per-key metric series
-    (``cd/cvm_online.py``): distribution-free thresholds simulated at fit
-    time per key (seeded), sliding-window rank stats vs the reference."""
-    from ..functions.cvm import OnlineCVM
+    (``cd/cvm_online.py``): distribution-free thresholds simulated ONCE on
+    the driver (seeded by the job, they depend only on (n_ref, windows, ert))
+    and broadcast in the UDF closure — never re-simulated per key; sliding
+    multi-window rank stats vs the per-key reference head, drift when the max
+    over windows exceeds the per-step threshold."""
+    from ..functions.cvm import OnlineCVM, fit_thresholds
+
+    window_sizes = tuple(int(w) for w in window_sizes)
+    stat_cols = _window_stat_cols("cvm", window_sizes)
+    shared_thresholds = fit_thresholds(
+        n_ref, window_sizes, ert, n_bootstraps=n_bootstraps, seed=base_seed
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
-        k = pdf[key].iloc[0]
         x = pdf[value].to_numpy(dtype=np.float64)
         n = len(x)
         out = pd.DataFrame({key: pdf[key].to_numpy(), order_col: pdf[order_col].to_numpy()})
-        if n <= n_ref + window_size:
-            out["cvm_stat"] = np.nan
+        if n <= n_ref + max(window_sizes):
+            for c in stat_cols:
+                out[c] = np.nan
             out["cvm_threshold"] = np.nan
             out["cvm_is_drift"] = np.int32(0)
             return out
         det = OnlineCVM.fit(
-            x[:n_ref], ert=ert, window_size=window_size,
-            n_bootstraps=n_bootstraps, seed=source_seed(str(k), base_seed),
+            x[:n_ref], ert=ert, window_sizes=window_sizes,
+            thresholds=shared_thresholds,
         )
         stats, thr, drift, _ = det.score_stream(x[n_ref:])
         pad = np.full(n_ref, np.nan)
-        out["cvm_stat"] = np.concatenate([pad, stats])
+        for j, c in enumerate(stat_cols):
+            out[c] = np.concatenate([pad, stats[:, j]])
         out["cvm_threshold"] = np.concatenate([pad, thr])
         out["cvm_is_drift"] = np.concatenate([np.zeros(n_ref, dtype=np.int32), drift]).astype(np.int32)
         return out
 
-    schema = f"{key} string, {order_col} long, cvm_stat double, cvm_threshold double, cvm_is_drift int"
+    stat_schema = ", ".join(f"{c} double" for c in stat_cols)
+    schema = f"{key} string, {order_col} long, {stat_schema}, cvm_threshold double, cvm_is_drift int"
+    return df.select(key, order_col, value).groupBy(key).applyInPandas(fn, schema=schema)
+
+
+def mmd_online_stats_over(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    n_ref: int = 64,
+    window_size: int = 10,
+    sigma: float = 5.0,
+) -> DataFrame:
+    """Online-MMD stat trajectory with a DETERMINISTIC reference split — the
+    SQL-oracle-checkable variant of ``cd/pytorch/mmd_online.py:194-230``.
+
+    The per-step statistic is identical to the reference's
+    (``k_xx_sub_sum + Σ zero_diag(k_yy)/(W(W−1)) − 2·mean(k_xy)`` over a FIFO
+    window), but the ref split is the head of the series (sub-ref = first
+    ``n_ref − W`` points, initial test window = next ``W``) instead of the
+    seeded permutation of ``mmd_online.py:110-132``, and σ is fixed instead
+    of the median heuristic — so the whole trajectory is a closed-form
+    function of the data, expressible in ANSI SQL. The seeded/bootstrapped
+    detector (thresholds + drift decisions) lives in :func:`score_rollup` and
+    is pytest-covered.
+
+    Scale shape: one ordered ``applyInPandas`` per key; O(len·W) kernel work
+    via banded diagonals + cumulative sums, never an [L×L] kernel matrix."""
+    w = window_size
+    rw = n_ref - w
+    two_sig2 = 2.0 * sigma * sigma
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n <= n_ref + w:
+            return pd.DataFrame(
+                {key: pdf[key].to_numpy()[:0], order_col: pdf[order_col].to_numpy()[:0],
+                 "mmd_stat": np.zeros(0)}
+            )
+        sub, init, stream = x[:rw], x[rw:n_ref], x[n_ref:]
+        m = stream.shape[0]
+        # k_xx over the sub-ref, zero-diag mean
+        d_sub = np.subtract.outer(sub, sub)
+        k_sub = np.exp(-(d_sub * d_sub) / two_sig2)
+        k_xx_sub = (k_sub.sum() - np.trace(k_sub)) / (rw * (rw - 1))
+        # extended sequence: initial window then the stream; window(i) = E[i:i+w]
+        e = np.concatenate([init, stream])
+        d_xe = np.subtract.outer(sub, e)
+        kc = np.exp(-(d_xe * d_xe) / two_sig2).mean(axis=0)  # [len(e)]
+        ck = np.concatenate([[0.0], np.cumsum(kc)])
+        xy = (ck[w:] - ck[:-w])[1 : m + 1] / w  # window mean of kc at each step
+        # banded k_yy sums: offset-d diagonals + sliding sums (O(len·W))
+        yy = np.zeros(m)
+        for d in range(1, w):
+            diag = np.exp(-((e[d:] - e[:-d]) ** 2) / two_sig2)
+            cd = np.concatenate([[0.0], np.cumsum(diag)])
+            yy += 2.0 * (cd[w - d :] - cd[: -(w - d) or None])[1 : m + 1]
+        stats = k_xx_sub + yy / (w * (w - 1)) - 2.0 * xy
+        return pd.DataFrame(
+            {
+                key: pdf[key].to_numpy()[n_ref:],
+                order_col: pdf[order_col].to_numpy()[n_ref:],
+                "mmd_stat": np.round(stats, 6),
+            }
+        )
+
+    schema = f"{key} string, {order_col} long, mmd_stat double"
     return df.select(key, order_col, value).groupBy(key).applyInPandas(fn, schema=schema)
 
 

@@ -90,20 +90,26 @@ def lof_outlier_scores(
     (``alibi_detect/od/_lof.py:22-213`` semantics: fitted neighbourhood
     statistics on the reference, scores = mean neighbour-lrd / own-lrd).
     Fit is NumPy on the collected reference; scoring is one corpus scan."""
-    _, _, r = _collect_matrix(emb, ref_pred, id_col)
+    _, ref_ids, r = _collect_matrix(emb, ref_pred, id_col)
     n_ref = r.shape[0]
-    # pairwise within ref (self excluded)
-    d_rr = np.sqrt(
-        np.maximum(
-            np.einsum("ij,ij->i", r, r)[:, None]
-            + np.einsum("ij,ij->i", r, r)[None, :]
-            - 2.0 * (r @ r.T),
-            0.0,
-        )
+    # pairwise within ref (self excluded); distances rounded to 6dp BEFORE
+    # neighbour selection, ties broken by ref id — the repo-wide numeric
+    # contract that makes the ranking reproducible against the SQL oracle
+    d_rr = np.round(
+        np.sqrt(
+            np.maximum(
+                np.einsum("ij,ij->i", r, r)[:, None]
+                + np.einsum("ij,ij->i", r, r)[None, :]
+                - 2.0 * (r @ r.T),
+                0.0,
+            )
+        ),
+        6,
     )
     np.fill_diagonal(d_rr, np.inf)
-    nn_idx = np.argsort(d_rr, axis=1)[:, :k]
+    order_rr = np.lexsort((np.broadcast_to(ref_ids, d_rr.shape), d_rr), axis=-1)
     rows = np.arange(n_ref)[:, None]
+    nn_idx = order_rr[:, :k]
     kdist = d_rr[rows, nn_idx][:, -1]  # k-distance per ref point
     reach_rr = np.maximum(kdist[nn_idx], d_rr[rows, nn_idx])
     lrd_ref = 1.0 / (reach_rr.mean(axis=1) + 1e-12)
@@ -115,12 +121,18 @@ def lof_outlier_scores(
             if not len(pdf):
                 continue
             x = np.stack(pdf[EMB_COL].to_numpy()).astype(np.float64)
-            d = np.sqrt(
-                np.maximum(
-                    np.einsum("ij,ij->i", x, x)[:, None] + r2[None, :] - 2.0 * (x @ r.T), 0.0
-                )
+            d = np.round(
+                np.sqrt(
+                    np.maximum(
+                        np.einsum("ij,ij->i", x, x)[:, None] + r2[None, :] - 2.0 * (x @ r.T), 0.0
+                    )
+                ),
+                6,
             )
-            idx = np.argsort(d, axis=1)[:, :k]
+            # NOTE: a scanned point that IS a reference point keeps its 0-dist
+            # self pair (fitted-reference semantics of od/_lof.py: the test
+            # batch is scored against the fitted set as-is)
+            idx = np.lexsort((np.broadcast_to(ref_ids, d.shape), d), axis=-1)[:, :k]
             rws = np.arange(len(x))[:, None]
             reach = np.maximum(kdist[idx], d[rws, idx])
             lrd_p = 1.0 / (reach.mean(axis=1) + 1e-12)

@@ -68,7 +68,10 @@ def test_fet_chunked_resume(fet_det):
     )
     got = np.concatenate([a, b])
     assert np.array_equal(got.view(np.uint64), full.view(np.uint64))
-    assert np.array_equal(np.concatenate([thr_f[:37], thr_b]), thr_f)
+    # thresholds are NaN before the first full window (raw-time indexing)
+    assert np.array_equal(np.concatenate([thr_f[:37], thr_b]), thr_f, equal_nan=True)
+    assert np.isnan(thr_f[: fet_det.window_size - 1]).all()
+    assert np.isfinite(thr_f[fet_det.window_size - 1 :]).all()
 
 
 @pytest.fixture(scope="module")
@@ -193,3 +196,130 @@ def test_lsdd_offline_perm_test():
     p_shift, _ = lsdd_2samp(a, rng.standard_normal((150, 2)) + 1.5, n_permutations=100, seed=62)
     assert p_same > 0.05
     assert p_shift < 0.02
+
+
+@pytest.fixture(scope="module")
+def cvm_det_multi():
+    rng = np.random.default_rng(13)
+    x_ref = rng.standard_normal(200)
+    return OnlineCVM.fit(x_ref, ert=ERT, window_sizes=(5, 10, 20), n_bootstraps=400, seed=14)
+
+
+def test_cvm_multiwindow_ert_h0(cvm_det_multi):
+    """Multi-window semantics (cd/base_online.py:221, cvm_online.py:245-264):
+    drift = max over windows vs a single per-step threshold; ERT holds."""
+    rng = np.random.default_rng(15)
+    runs = []
+    for _ in range(60):
+        xs = rng.standard_normal(int(6 * ERT))
+        stats, thr, drift, _ = cvm_det_multi.score_stream(xs)
+        assert stats.shape[1] == 3
+        # warm-up NaN per window: stat k is NaN before window_sizes[k] fills
+        for k, ws in enumerate(cvm_det_multi.window_sizes):
+            assert np.isnan(stats[: ws - 1, k]).all()
+            assert np.isfinite(stats[ws - 1 :, k]).all()
+        hit = np.argmax(drift) if drift.any() else len(drift)
+        runs.append(hit + 1)
+    art = float(np.mean(runs))
+    assert ERT / 3 < art < 3 * ERT, art
+
+
+def test_cvm_multiwindow_detects_h1(cvm_det_multi):
+    rng = np.random.default_rng(16)
+    adds = []
+    for _ in range(20):
+        xs = rng.standard_normal(int(2 * ERT)) + 2.5
+        _, _, drift, _ = cvm_det_multi.score_stream(xs)
+        assert drift.any()
+        adds.append(np.argmax(drift) + 1)
+    assert float(np.mean(adds)) < ERT / 2
+
+
+def test_cvm_multiwindow_chunked_resume(cvm_det_multi):
+    rng = np.random.default_rng(17)
+    xs = rng.standard_normal(90)
+    full, _, drift_f, _ = cvm_det_multi.score_stream(xs)
+    a, _, da, carry = cvm_det_multi.score_stream(xs[:33])
+    b, _, db, _ = cvm_det_multi.score_stream(xs[33:], t0=carry["t"], warm=carry["tail"])
+    got = np.concatenate([a, b])
+    fa = np.nan_to_num(full, nan=-999.0)
+    ga = np.nan_to_num(got, nan=-999.0)
+    assert np.array_equal(ga.view(np.uint64), fa.view(np.uint64))
+    assert np.array_equal(np.concatenate([da, db]), drift_f)
+
+
+def test_cvm_blocked_scoring_exact(cvm_det_multi):
+    """Internal blocking of the boolean-matrix scorer is exact (integer
+    counts): tiny block_size reproduces the one-shot trajectory bit-for-bit."""
+    rng = np.random.default_rng(18)
+    xs = rng.standard_normal(200)
+    a, _, _, _ = cvm_det_multi.score_stream(xs)
+    b, _, _, _ = cvm_det_multi.score_stream(xs, block_size=7)
+    assert np.array_equal(
+        np.nan_to_num(a, nan=-1.0).view(np.uint64), np.nan_to_num(b, nan=-1.0).view(np.uint64)
+    )
+
+
+@pytest.fixture(scope="module")
+def fet_det_multi():
+    rng = np.random.default_rng(19)
+    x_ref = (rng.random(400) < 0.3).astype(int)
+    return OnlineFET.fit(x_ref, ert=ERT, window_sizes=(10, 20), n_bootstraps=1500, seed=20)
+
+
+def test_fet_multiwindow_ert_h0(fet_det_multi):
+    rng = np.random.default_rng(26)
+    runs = []
+    for _ in range(60):
+        xs = (rng.random(int(6 * ERT)) < 0.3).astype(int)
+        stats, _, drift, _ = fet_det_multi.score_stream(xs)
+        assert stats.shape[1] == 2
+        hit = np.argmax(drift) if drift.any() else len(drift)
+        runs.append(hit + 1)
+    art = float(np.mean(runs))
+    assert ERT / 3 < art < 3 * ERT, art
+
+
+def test_fet_multiwindow_detects_h1(fet_det_multi):
+    rng = np.random.default_rng(27)
+    adds = []
+    for _ in range(20):
+        xs = (rng.random(int(2 * ERT)) < 0.85).astype(int)
+        _, _, drift, _ = fet_det_multi.score_stream(xs)
+        assert drift.any()
+        adds.append(np.argmax(drift) + 1)
+    assert float(np.mean(adds)) < ERT / 2
+
+
+def test_fet_multiwindow_chunked_resume(fet_det_multi):
+    rng = np.random.default_rng(28)
+    xs = (rng.random(120) < 0.3).astype(int)
+    full, _, drift_f, _ = fet_det_multi.score_stream(xs)
+    a, _, da, carry = fet_det_multi.score_stream(xs[:47])
+    b, _, db, _ = fet_det_multi.score_stream(
+        xs[47:], t0=carry["t"], carry=carry["ewma"], warm=carry["tail"]
+    )
+    got = np.concatenate([a, b])
+    fa = np.nan_to_num(full, nan=-999.0)
+    ga = np.nan_to_num(got, nan=-999.0)
+    assert np.array_equal(ga.view(np.uint64), fa.view(np.uint64))
+    assert np.array_equal(np.concatenate([da, db]), drift_f)
+
+
+def test_cvm_thresholds_distribution_free_shared():
+    """fit_thresholds is a pure function of (n_ref, windows, ert, seed) —
+    the driver computes it once and shares it across keys; per-key fits with
+    precomputed thresholds must score identically to self-fit ones."""
+    from alibi_detect_spark.functions.cvm import fit_thresholds
+
+    thr = fit_thresholds(200, (10,), ERT, n_bootstraps=400, seed=6)
+    rng = np.random.default_rng(5)
+    x_ref = rng.standard_normal(200)
+    a = OnlineCVM.fit(x_ref, ert=ERT, window_size=10, n_bootstraps=400, seed=6)
+    b = OnlineCVM.fit(x_ref, ert=ERT, window_size=10, thresholds=thr)
+    assert np.array_equal(a.thresholds, b.thresholds, equal_nan=True)
+    xs = rng.standard_normal(100)
+    sa, ta, da, _ = a.score_stream(xs)
+    sb, tb, db, _ = b.score_stream(xs)
+    assert np.array_equal(np.nan_to_num(sa, nan=-1.0), np.nan_to_num(sb, nan=-1.0))
+    assert np.array_equal(da, db)

@@ -127,6 +127,32 @@ def main() -> None:
         "partition) are the only shuffled rows.",
     )
 
+    # 6b. IVF top-k: the queried cell set must prune the SCAN (PushedFilters),
+    #     not mask rows after reading the full corpus
+    audit(
+        "ann_ivf_topk",
+        qs["ann_ivf_topk"](spark, SF),
+        requires=["MapInPandas", "PushedFilters: [In(label"],
+        forbids=["CartesianProduct", "BroadcastNestedLoopJoin"],
+        note="IVF prune is a pre-scan filter: the queried cells arrive as an "
+        "`In(label, ...)` pushed into the parquet source, so on a corpus "
+        "partitioned by cell each query batch reads 1/n_cells of the data; "
+        "the in-batch mask only breaks per-query ties.",
+    )
+
+    # 6c. exact n-gram jaccard: hot-shingle guard is a BROADCAST anti-join
+    #     (tiny hot set), candidate generation stays equi-join only
+    audit(
+        "dedup_ngram_jaccard",
+        qs["dedup_ngram_jaccard"](spark, SF),
+        requires=["BroadcastHashJoin", "LeftAnti"],
+        forbids=["CartesianProduct", "BroadcastNestedLoopJoin"],
+        note="The df-cap guard drops boilerplate shingles (df > cap) before "
+        "the self-join via a broadcast LeftAnti join — the hot set is tiny by "
+        "construction, so no extra shuffle; without it one hot shingle in 10^6 "
+        "docs emits 10^12 candidate rows.",
+    )
+
     # 7. dedup minhash: signature agg is partial+final (no raw-shingle shuffle
     #    of text), candidate join is an equi-join
     audit(
