@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from alibi_detect_spark.operators import ann, dedup, drift, outlier, textstats  # noqa: E402
+from alibi_detect_spark.operators import ann, dedup, drift, outlier, sample, textstats  # noqa: E402
 from alibi_detect_spark.operators.detect import (  # noqa: E402
     cvm_online_over,
     ewma_over,
@@ -209,6 +209,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "embedding",
     )
+    q["uncertainty_margin_drift"] = lambda s, sf: drift.uncertainty_drift(
+        _t(s, sf, "embeddings").withColumn(
+            "sample",
+            F.when(F.col("vec_id") % 2 == 0, F.lit("ref")).otherwise(F.lit("test")),
+        ),
+        "embedding",
+        uncertainty_type="margin",
+    )
+    q["drift_fdr"] = lambda s, sf: drift.drift_corrections(
+        drift.ks_2samp(_events_labeled(s, sf), "event_type", "value"),
+        ["event_type"],
+    )
+    q["reservoir_sample"] = lambda s, sf: sample.reservoir_sample(
+        _t(s, sf, "events"), "event_id", 500, keep_cols=["event_id", "event_type"]
+    )
     q["tabular_drift"] = lambda s, sf: drift.tabular_drift(
         _events_labeled(s, sf).withColumn("u", (F.col("user_id") % 100).cast("double")),
         num_cols=["value", "u"],
@@ -236,7 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=4
     )
     q["sr_saliency"] = lambda s, sf: (
-        score_rollup(_events_as_rollup(s, sf)).select(
+        score_rollup(_events_as_rollup(s, sf))
+        .where(F.col("sr_score").isNotNull() & ~F.isnan("sr_score"))
+        .select(
             "source", "bucket_ts", F.round("sr_score", 6).alias("sr_score"), "is_outlier"
         )
     )
@@ -739,6 +756,51 @@ FROM (SELECT n_ref, n_test, d_raw, sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS 
             GROUP BY 1, 2))
 """
 
+    o["uncertainty_margin_drift"] = """
+WITH base AS (SELECT list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS lg,
+                     CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s
+              FROM embeddings),
+ex AS (SELECT list_transform(lg, x -> exp(x - list_max(lg))) AS exps, s FROM base),
+pr AS (SELECT list_sort(list_transform(exps, e -> e / list_reduce(exps, (a, b) -> a + b))) AS ps, s
+       FROM ex),
+lab AS (SELECT CASE WHEN ps[len(ps)] - ps[len(ps)-1] < 0.1 THEN '1' ELSE '0' END AS lm, s FROM pr),
+cells AS (SELECT lm, s, count(*) AS obs FROM lab GROUP BY 1, 2),
+tot AS (SELECT sum(obs) AS n FROM cells),
+rm AS (SELECT lm, sum(obs) AS row_n FROM cells GROUP BY 1),
+cm AS (SELECT s, sum(obs) AS col_n FROM cells GROUP BY 1)
+SELECT round(sum((obs - row_n*col_n/n) * (obs - row_n*col_n/n) / (row_n*col_n/n)), 9) AS chi2_stat,
+       CAST((count(DISTINCT cells.lm) - 1) * (count(DISTINCT cells.s) - 1) AS BIGINT) AS dof
+FROM cells JOIN rm USING (lm) JOIN cm USING (s) CROSS JOIN tot
+"""
+
+    o["drift_fdr"] = f"""
+WITH {_ECDF},
+d AS (SELECT event_type, n_ref, n_test, max(abs(cum_ref/n_ref - cum_test/n_test)) AS d_raw
+      FROM c GROUP BY 1, 2, 3),
+t AS (SELECT event_type, d_raw, sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS tt FROM d),
+kp AS (SELECT event_type,
+       round(CASE WHEN tt <= 0 THEN 1.0 ELSE
+         least(greatest(list_sum(list_transform(generate_series(1, 100),
+           k -> 2.0 * pow(-1.0, k-1) * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * tt * tt))), 0.0), 1.0)
+       END, 9) AS p_value
+      FROM t),
+rk AS (SELECT event_type, p_value,
+              row_number() OVER (ORDER BY p_value, event_type) AS rank,
+              count(*) OVER () AS nf
+       FROM kp)
+SELECT event_type, p_value, CAST(rank AS INTEGER) AS rank,
+       round(0.05 * rank / nf, 9) AS q_threshold,
+       CAST(p_value < 0.05 * rank / nf AS INTEGER) AS fdr_below,
+       CAST(p_value < 0.05 / nf AS INTEGER) AS bonferroni_reject,
+       CAST(max(CASE WHEN p_value < 0.05 * rank / nf THEN 1 ELSE 0 END) OVER () AS INTEGER) AS is_drift_fdr
+FROM rk
+"""
+
+    o["reservoir_sample"] = """
+SELECT event_id, event_type, md5('42:' || CAST(event_id AS VARCHAR)) AS priority
+FROM events ORDER BY priority LIMIT 500
+"""
+
     o["mahalanobis_topk"] = """
 WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
@@ -1057,6 +1119,84 @@ stat AS (SELECT source, i,
     FROM steps)
 SELECT s.source AS source, s.bucket_ts AS bucket_ts, round(stat.mmd2, 6) AS mmd_stat
 FROM stat JOIN s ON s.source = stat.source AND s.rn = 64 + stat.i
+"""
+
+    # Spectral Residual via an explicit O(n²) DFT (od/sr.py:231-368 semantics:
+    # tail extrapolation, log-amplitude MA filter on the half spectrum with
+    # reflect padding, |ifft(exp(residual + i·phase))|, left-padded local MA).
+    # np.fft vs the DFT sums agree to ~1e-13 on these series; 6dp rounding on
+    # both sides absorbs it.
+    o["sr_saliency"] = """
+WITH r AS (SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_ts,
+                  CAST(count(*) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, bucket_ts, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn FROM r),
+agg AS (SELECT event_type, list(v ORDER BY rn) AS vals, count(*) AS n FROM s GROUP BY 1
+        HAVING count(*) > 20),
+est AS (SELECT event_type, vals, n,
+        vals[n-4] + (list_reduce(list_transform(generate_series(1, 5), i ->
+            (vals[n] - vals[n-i]) / CAST(i AS DOUBLE)), (a,b) -> a+b) / 5.0) * 3.0 AS tail
+        FROM agg),
+ext AS (SELECT event_type, n, n + 10 AS nn,
+        list_concat(vals, list_transform(generate_series(1, 10), i -> tail)) AS xe
+        FROM est),
+fft AS (SELECT event_type, n, nn, xe,
+    list_transform(generate_series(0, nn-1), k ->
+        list_reduce(list_transform(xe, (x, j) ->
+            x * cos(2*pi()*(((j-1)*k) % nn)/nn)), (a,b) -> a+b)) AS re,
+    list_transform(generate_series(0, nn-1), k ->
+        -list_reduce(list_transform(xe, (x, j) ->
+            x * sin(2*pi()*(((j-1)*k) % nn)/nn)), (a,b) -> a+b)) AS im
+    FROM ext),
+amp AS (SELECT event_type, n, nn,
+    list_transform(generate_series(1, nn), k -> ln(sqrt(re[k]*re[k] + im[k]*im[k]) + 1e-8)) AS la,
+    list_transform(generate_series(1, nn), k -> atan2(im[k], re[k])) AS ph
+    FROM fft),
+halfs AS (SELECT event_type, n, nn, la, ph, la[2 : nn//2 + 1] AS half, nn//2 AS h FROM amp),
+padded AS (SELECT event_type, n, nn, la, ph, h,
+    list_concat(list_concat(list_reverse(half[2:11]), half),
+                list_reverse(half[h-9 : h-1])) AS pad
+    FROM halfs),
+mah AS (SELECT event_type, n, nn, la, ph, h,
+    list_transform(generate_series(1, h), i ->
+        list_reduce(list_transform(pad[i : i+19], x -> x * (1.0/20.0)), (a,b) -> a+b)) AS mh
+    FROM padded),
+malog AS (SELECT event_type, n, nn, la, ph,
+    list_concat(list_concat([la[1]], mh),
+                list_reverse(CASE WHEN nn % 2 = 0 THEN mh[1 : h-1] ELSE mh END)) AS ma
+    FROM mah),
+resid AS (SELECT event_type, n, nn,
+    list_transform(generate_series(1, nn), k -> exp(la[k] - ma[k]) * cos(ph[k])) AS cre,
+    list_transform(generate_series(1, nn), k -> exp(la[k] - ma[k]) * sin(ph[k])) AS cim
+    FROM malog),
+ifft AS (SELECT event_type, n,
+    list_transform(generate_series(0, n-1), j ->
+        list_reduce(list_transform(generate_series(1, nn), k ->
+            cre[k]*cos(2*pi()*((j*(k-1)) % nn)/nn)
+          - cim[k]*sin(2*pi()*((j*(k-1)) % nn)/nn)), (a,b) -> a+b) / nn) AS yre,
+    list_transform(generate_series(0, n-1), j ->
+        list_reduce(list_transform(generate_series(1, nn), k ->
+            cre[k]*sin(2*pi()*((j*(k-1)) % nn)/nn)
+          + cim[k]*cos(2*pi()*((j*(k-1)) % nn)/nn)), (a,b) -> a+b) / nn) AS yim
+    FROM resid),
+sal AS (SELECT event_type, n,
+    list_transform(generate_series(1, n), j -> sqrt(yre[j]*yre[j] + yim[j]*yim[j])) AS sl
+    FROM ifft),
+lma AS (SELECT event_type, n, sl,
+    list_concat(list_reverse(sl[2:21]), sl) AS pad2
+    FROM sal),
+masal AS (SELECT event_type, n, sl,
+    list_transform(generate_series(1, n), k ->
+        list_reduce(list_transform(pad2[k : k+19], x -> x * (1.0/20.0)), (a,b) -> a+b)) AS ms
+    FROM lma),
+score AS (SELECT event_type, n,
+    list_transform(generate_series(1, n), k -> (sl[k] - ms[k]) / (ms[k] + 1e-8)) AS sc
+    FROM masal)
+SELECT s.event_type AS source, s.bucket_ts AS bucket_ts,
+       round(score.sc[s.rn], 6) AS sr_score,
+       CAST(score.sc[s.rn] > 3.0 AS INTEGER) AS is_outlier
+FROM score JOIN s ON s.event_type = score.event_type AND s.rn <= score.n
 """
 
     _SQD = "list_reduce(list_transform(generate_series(1,64), i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"

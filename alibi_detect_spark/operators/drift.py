@@ -304,12 +304,19 @@ def uncertainty_drift(
     sample: str = "sample",
     n_classes: int = 8,
     key_name: str = "entropy",
+    uncertainty_type: str = "entropy",
+    margin_width: float = 0.1,
 ) -> DataFrame:
     """ClassifierUncertaintyDrift (``alibi_detect/cd/model_uncertainty.py:16-148``
-    + ``cd/preprocess.py:8-57``): model-uncertainty transform (softmax →
-    entropy) as pure column math feeding the KS two-sample test. The "model
-    logits" here are the first ``n_classes`` embedding dims — in production
-    this column is the served model's logit array.
+    + ``cd/preprocess.py:8-57``): model-uncertainty transform as pure column
+    math feeding the matching two-sample test. The "model logits" here are
+    the first ``n_classes`` embedding dims — in production this column is the
+    served model's logit array.
+
+    ``uncertainty_type='entropy'`` → softmax entropy → KS test; ``'margin'``
+    → binary low-margin indicator ``(top1 − top2) < margin_width``
+    (``cd/preprocess.py:49-53``) → χ² test, matching the reference's
+    categorical dispatch for margin uncertainty.
 
     Entropies are rounded to 9dp BEFORE the ECDF so cross-engine 1-ulp
     differences in exp/log cannot perturb tie grouping."""
@@ -318,6 +325,12 @@ def uncertainty_drift(
     exps = F.transform(logits, lambda x: F.exp(x - mx))
     denom = F.aggregate(exps, F.lit(0.0), lambda a, b: a + b)
     probs = F.transform(exps, lambda e: e / denom)
+    if uncertainty_type == "margin":
+        srt = F.array_sort(probs)
+        margin = F.element_at(srt, -1) - F.element_at(srt, -2)
+        low = (margin < margin_width).cast("int").cast("string")
+        feat = df.select(low.alias("low_margin"), sample)
+        return chi2_contingency(feat, "low_margin", sample)
     entropy = -F.aggregate(probs, F.lit(0.0), lambda a, p: a + p * F.log(p))
     feat = df.select(
         F.lit(key_name).alias("feature"),
@@ -325,6 +338,36 @@ def uncertainty_drift(
         sample,
     )
     return ks_2samp(feat, "feature", "value", sample)
+
+
+def drift_corrections(
+    df: DataFrame, feature_cols: list[str], p_col: str = "p_value", q: float = 0.05
+) -> DataFrame:
+    """Multivariate drift aggregation (``alibi_detect/cd/base.py:1003-1007``
+    + ``utils/statstest.py:41-68``): per-feature Bonferroni rejection
+    (``p < q/n``) and Benjamini–Hochberg FDR (sort p ascending, reject where
+    ``p_(i) < q·i/n``, global drift if ANY sorted p falls below its
+    threshold). Pure window math over the tiny per-feature p-value relation."""
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    w = Window.orderBy(F.col(p_col).asc(), *[F.col(c) for c in feature_cols])
+    ranked = df.select(
+        *feature_cols,
+        F.col(p_col),
+        F.row_number().over(w).alias("rank"),
+        n.alias("n_features"),
+    ).withColumn(
+        "q_threshold", F.lit(q) * F.col("rank") / F.col("n_features")
+    ).withColumn(
+        "fdr_below", (F.col(p_col) < F.col("q_threshold")).cast("int")
+    ).withColumn(
+        "bonferroni_reject", (F.col(p_col) < F.lit(q) / F.col("n_features")).cast("int")
+    )
+    any_w = Window.partitionBy()
+    return ranked.withColumn("is_drift_fdr", F.max("fdr_below").over(any_w)).select(
+        *feature_cols, p_col, "rank",
+        F.round("q_threshold", 9).alias("q_threshold"),
+        "fdr_below", "bonferroni_reject", "is_drift_fdr",
+    )
 
 
 def mahalanobis_scores(
