@@ -19,7 +19,15 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from alibi_detect_spark.operators import ann, dedup, drift, outlier, sample, textstats  # noqa: E402
+from alibi_detect_spark.operators import (  # noqa: E402
+    ann,
+    classifier,
+    dedup,
+    drift,
+    outlier,
+    sample,
+    textstats,
+)
 from alibi_detect_spark.operators.detect import (  # noqa: E402
     cvm_online_over,
     ewma_over,
@@ -196,7 +204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mmd_drift"] = lambda s, sf: drift.mmd_2samp(
         _events_labeled(s, sf), "value", n_per_side=256, sigma=5.0, order_col="event_id"
     )
-    q["mmd_perm_test"] = lambda s, sf: drift.mmd_perm_test(
+    # hash-derived permutations (md5 order per perm id) — exchangeable under
+    # H0 like RNG shuffles, but identical in both engines → hash-checkable;
+    # the seeded-RNG permutation_test stays pytest-covered
+    q["mmd_perm_test"] = lambda s, sf: drift.mmd_perm_test_hash(
         _events_labeled(s, sf), "value", n_per_side=256, sigma=5.0, order_col="event_id"
     )
     q["lsdd_perm_test"] = lambda s, sf: drift.lsdd_perm_test(
@@ -208,6 +219,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(F.col("vec_id") % 2 == 0, F.lit("ref")).otherwise(F.lit("test")),
         ),
         "embedding",
+    )
+    def _events_u(s, sf):
+        return _events_labeled(s, sf).withColumn("u", (F.col("user_id") % 100).cast("double"))
+
+    q["classifier_drift"] = lambda s, sf: classifier.classifier_drift_nb(
+        _events_u(s, sf), ("value", "u"), "event_id"
+    )
+    q["classifier_drift_lr"] = lambda s, sf: classifier.classifier_drift_lr(
+        _events_u(s, sf), ["value", "u"], "event_id"
+    )
+    q["iforest_outlier"] = lambda s, sf: outlier.iforest_outlier_scores(
+        _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0
     )
     q["uncertainty_margin_drift"] = lambda s, sf: drift.uncertainty_drift(
         _t(s, sf, "embeddings").withColumn(
@@ -694,6 +717,39 @@ SELECT CAST(sqrt(nn) AS BIGINT) AS n_ref, CAST(sqrt(mm) AS BIGINT) AS n_test,
 FROM agg
 """
 
+    o["mmd_perm_test"] = """
+WITH lab AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+                    value AS v, event_id AS o FROM events),
+sub AS (SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY o) AS rn FROM lab
+        QUALIFY rn <= 256),
+pool AS (SELECT CAST(v AS DOUBLE) AS v,
+                CASE WHEN s = 'ref' THEN rn ELSE 256 + rn END AS gid FROM sub),
+pairs AS (SELECT a.gid AS ia, b.gid AS ib,
+                 exp(-((a.v-b.v)*(a.v-b.v))/50.0) AS k
+          FROM pool a CROSS JOIN pool b),
+obs AS (SELECT
+      sum(CASE WHEN ia <= 256 AND ib <= 256 AND ia <> ib THEN k ELSE 0 END)/(256*255.0)
+    + sum(CASE WHEN ia > 256 AND ib > 256 AND ia <> ib THEN k ELSE 0 END)/(256*255.0)
+    - 2.0*sum(CASE WHEN ia <= 256 AND ib > 256 THEN k ELSE 0 END)/(256*256.0) AS stat
+    FROM pairs),
+assign AS (SELECT p, gid,
+           CASE WHEN row_number() OVER (PARTITION BY p
+                ORDER BY md5(CAST(p AS VARCHAR) || ':' || CAST(gid AS VARCHAR))) <= 256
+                THEN 1 ELSE 0 END AS is_x
+           FROM (SELECT unnest(generate_series(1, 100)) AS p) CROSS JOIN pool),
+ps AS (SELECT ax.p AS p,
+      sum(CASE WHEN ax.is_x = 1 AND bx.is_x = 1 AND pairs.ia <> pairs.ib THEN k ELSE 0 END)/(256*255.0)
+    + sum(CASE WHEN ax.is_x = 0 AND bx.is_x = 0 AND pairs.ia <> pairs.ib THEN k ELSE 0 END)/(256*255.0)
+    - 2.0*sum(CASE WHEN ax.is_x = 1 AND bx.is_x = 0 THEN k ELSE 0 END)/(256*256.0) AS stat
+    FROM pairs JOIN assign ax ON ax.gid = pairs.ia
+               JOIN assign bx ON bx.gid = pairs.ib AND bx.p = ax.p
+    GROUP BY 1)
+SELECT CAST(256 AS BIGINT) AS n_ref, CAST(256 AS BIGINT) AS n_test,
+       round(obs.stat, 6) AS mmd2,
+       round(sum(CASE WHEN obs.stat <= ps.stat THEN 1 ELSE 0 END)/100.0, 6) AS p_value
+FROM ps CROSS JOIN obs GROUP BY obs.stat
+"""
+
     def _ks_feature(col_expr: str, name: str) -> str:
         return f"""
 SELECT '{name}' AS feature, 'ks' AS test, round(d_raw, 9) AS stat,
@@ -750,6 +806,71 @@ FROM (SELECT n_ref, n_test, d_raw, sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS 
                          sum(c_ref)  OVER () AS n_ref,
                          sum(c_test) OVER () AS n_test
                   FROM (SELECT ent AS v,
+                               sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+                               sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS c_test
+                        FROM lab GROUP BY 1))
+            GROUP BY 1, 2))
+"""
+
+    o["classifier_drift"] = """
+WITH lab0 AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+                     CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,4)) AS BIGINT) % 4 AS INTEGER) AS fold,
+                     CAST(value AS DOUBLE) AS v,
+                     CAST(user_id % 100 AS DOUBLE) AS u
+              FROM events),
+pf AS (SELECT fold, s, count(*) AS cnt,
+              sum(CAST(v AS DECIMAL(18,4))) AS sv,
+              sum(CAST(v AS DECIMAL(18,4))*CAST(v AS DECIMAL(18,4))) AS svv,
+              sum(CAST(u AS DECIMAL(18,4))) AS su,
+              sum(CAST(u AS DECIMAL(18,4))*CAST(u AS DECIMAL(18,4))) AS suu
+       FROM lab0 GROUP BY 1, 2),
+tot AS (SELECT s, sum(cnt) AS t_cnt, sum(sv) AS t_sv, sum(svv) AS t_svv,
+               sum(su) AS t_su, sum(suu) AS t_suu FROM pf GROUP BY 1),
+tr AS (SELECT fold, pf.s AS s,
+              CAST(t_cnt - cnt AS DOUBLE) AS n,
+              CAST(t_sv - sv AS DOUBLE) AS sv, CAST(t_svv - svv AS DOUBLE) AS svv,
+              CAST(t_su - su AS DOUBLE) AS su, CAST(t_suu - suu AS DOUBLE) AS suu
+       FROM pf JOIN tot ON tot.s = pf.s),
+wide AS (SELECT fold,
+        max(CASE WHEN s='ref' THEN n END) AS n_r,
+        max(CASE WHEN s='ref' THEN sv END) AS sv_r,
+        max(CASE WHEN s='ref' THEN svv END) AS svv_r,
+        max(CASE WHEN s='ref' THEN su END) AS su_r,
+        max(CASE WHEN s='ref' THEN suu END) AS suu_r,
+        max(CASE WHEN s='test' THEN n END) AS n_t,
+        max(CASE WHEN s='test' THEN sv END) AS sv_t,
+        max(CASE WHEN s='test' THEN svv END) AS svv_t,
+        max(CASE WHEN s='test' THEN su END) AS su_t,
+        max(CASE WHEN s='test' THEN suu END) AS suu_t
+        FROM tr GROUP BY 1),
+mom AS (SELECT fold, n_r, n_t,
+        sv_r/n_r AS mv_r, (svv_r/n_r - (sv_r/n_r)*(sv_r/n_r)) + 1e-9 AS varv_r,
+        su_r/n_r AS mu_r, (suu_r/n_r - (su_r/n_r)*(su_r/n_r)) + 1e-9 AS varu_r,
+        sv_t/n_t AS mv_t, (svv_t/n_t - (sv_t/n_t)*(sv_t/n_t)) + 1e-9 AS varv_t,
+        su_t/n_t AS mu_t, (suu_t/n_t - (su_t/n_t)*(su_t/n_t)) + 1e-9 AS varu_t
+        FROM wide),
+lab AS (SELECT lab0.s AS s,
+        round(1.0/(1.0 + exp(
+          (-0.5*ln(2*pi()*varv_r) - (v-mv_r)*(v-mv_r)/(2.0*varv_r)
+           - 0.5*ln(2*pi()*varu_r) - (u-mu_r)*(u-mu_r)/(2.0*varu_r)
+           + ln(n_r/(n_r+n_t)))
+        - (-0.5*ln(2*pi()*varv_t) - (v-mv_t)*(v-mv_t)/(2.0*varv_t)
+           - 0.5*ln(2*pi()*varu_t) - (u-mu_t)*(u-mu_t)/(2.0*varu_t)
+           + ln(n_t/(n_r+n_t))))), 9) AS p
+        FROM lab0 JOIN mom ON mom.fold = lab0.fold)
+SELECT 'clf_prob' AS feature, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_test AS BIGINT) AS n_test,
+       round(d_raw, 9) AS ks_stat,
+       round(CASE WHEN tt <= 0 THEN 1.0 ELSE
+         least(greatest(list_sum(list_transform(generate_series(1, 100),
+           k -> 2.0 * pow(-1.0, k-1) * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * tt * tt))), 0.0), 1.0)
+       END, 9) AS p_value
+FROM (SELECT n_ref, n_test, d_raw, sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS tt
+      FROM (SELECT n_ref, n_test, max(abs(cum_ref/n_ref - cum_test/n_test)) AS d_raw
+            FROM (SELECT sum(c_ref)  OVER (ORDER BY pv ROWS UNBOUNDED PRECEDING) AS cum_ref,
+                         sum(c_test) OVER (ORDER BY pv ROWS UNBOUNDED PRECEDING) AS cum_test,
+                         sum(c_ref)  OVER () AS n_ref,
+                         sum(c_test) OVER () AS n_test
+                  FROM (SELECT p AS pv,
                                sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS c_ref,
                                sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS c_test
                         FROM lab GROUP BY 1))

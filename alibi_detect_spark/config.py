@@ -20,13 +20,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from .operators import ann, dedup, drift, outlier, textstats
+from .operators import ann, classifier, dedup, drift, outlier, sample, textstats
 from .operators.detect import (
     cvm_online_over,
     ewma_over,
     fet_online_over,
     lsdd_online_over,
     mahalanobis_online_over,
+    mmd_online_stats_over,
     score_rollup,
     seasonal_band_outliers,
 )
@@ -53,9 +54,15 @@ REGISTRY: dict[str, Callable] = {
     "cvm_online_over": cvm_online_over,
     "lsdd_online_over": lsdd_online_over,
     "mahalanobis_online_over": mahalanobis_online_over,
+    "mmd_online_stats_over": mmd_online_stats_over,
     "seasonal_band_outliers": seasonal_band_outliers,
+    "classifier_drift_nb": classifier.classifier_drift_nb,
+    "classifier_drift_lr": classifier.classifier_drift_lr,
+    "drift_corrections": drift.drift_corrections,
+    "reservoir_sample": sample.reservoir_sample,
     "embedding_near_pairs": dedup.embedding_near_pairs,
     "mmd_perm_test": drift.mmd_perm_test,
+    "mmd_perm_test_hash": drift.mmd_perm_test_hash,
     "lsdd_perm_test": drift.lsdd_perm_test,
     "ks_2samp": drift.ks_2samp,
     "cvm_2samp": drift.cvm_2samp,
@@ -85,6 +92,7 @@ ANN_REGISTRY = {
     "kernel_pca_outlier_scores": outlier.kernel_pca_outlier_scores,
     "gmm_outlier_scores": outlier.gmm_outlier_scores,
     "lof_outlier_scores": outlier.lof_outlier_scores,
+    "iforest_outlier_scores": outlier.iforest_outlier_scores,
 }
 
 

@@ -467,6 +467,83 @@ def mmd_perm_test(
     )
 
 
+def mmd_perm_test_hash(
+    df: DataFrame,
+    value: str,
+    sample: str = "sample",
+    n_per_side: int = 256,
+    sigma: float = 5.0,
+    n_permutations: int = 100,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Offline MMD permutation test with HASH-DERIVED permutations — the
+    SQL-oracle-checkable twin of :func:`mmd_perm_test`.
+
+    Same statistic and p-value semantics as ``utils/statstest.py:5-38``
+    (p = share of permutations whose MMD² ≥ the observed one), but each
+    permutation is the md5 order of ``"{perm}:{pooled_id}"`` instead of an
+    RNG shuffle: a deterministic pseudo-random relabeling that is identical
+    in Spark and DuckDB, making the whole test hash-checkable. Statistically
+    equivalent (md5 orders are exchangeable under H0); the seeded-RNG variant
+    stays for reference-faithful semantics in pytest."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    oc = order_col or value
+    w = Window.partitionBy("s").orderBy("o")
+    sub = (
+        df.select(F.col(sample).alias("s"), F.col(value).cast("double").alias("v"), F.col(oc).alias("o"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_side)
+        .select("s", "v", "rn")
+    )
+    two_sig2 = 2.0 * sigma * sigma
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["s", "rn"], kind="mergesort")
+        v = pdf["v"].to_numpy()
+        n = int((pdf["s"] == "ref").sum())
+        m = len(v) - n
+        d = v[:, None] - v[None, :]
+        k = np.exp(-(d * d) / two_sig2)
+
+        def mmd2(x_mask: np.ndarray) -> float:
+            kxx = k[np.ix_(x_mask, x_mask)]
+            kyy = k[np.ix_(~x_mask, ~x_mask)]
+            kxy = k[np.ix_(x_mask, ~x_mask)]
+            nn, mm = int(x_mask.sum()), int((~x_mask).sum())
+            return (
+                (kxx.sum() - np.trace(kxx)) / (nn * (nn - 1.0))
+                + (kyy.sum() - np.trace(kyy)) / (mm * (mm - 1.0))
+                - 2.0 * kxy.sum() / (nn * float(mm))
+            )
+
+        obs_mask = (pdf["s"] == "ref").to_numpy()
+        stat = mmd2(obs_mask)
+        gid = np.where(obs_mask, pdf["rn"].to_numpy(), n_per_side + pdf["rn"].to_numpy())
+        hits = 0
+        for p in range(1, n_permutations + 1):
+            pri = np.array([hashlib.md5(f"{p}:{g}".encode()).hexdigest() for g in gid])
+            order = np.argsort(pri, kind="stable")
+            mask = np.zeros(len(v), dtype=bool)
+            mask[order[:n]] = True
+            hits += int(stat <= mmd2(mask))
+        return pd.DataFrame(
+            {
+                "n_ref": [n],
+                "n_test": [m],
+                "mmd2": [round(stat, 6)],
+                "p_value": [round(hits / n_permutations, 6)],
+            }
+        )
+
+    return sub.groupBy().applyInPandas(
+        fn, schema="n_ref long, n_test long, mmd2 double, p_value double"
+    )
+
+
 def lsdd_perm_test(
     df: DataFrame,
     value: str,

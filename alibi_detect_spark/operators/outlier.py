@@ -144,6 +144,42 @@ def lof_outlier_scores(
     return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, lof_score double")
 
 
+def iforest_outlier_scores(
+    emb: DataFrame,
+    ref_pred,
+    n_trees: int = 100,
+    max_samples: int = 256,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Isolation-forest outlier score
+    (``alibi_detect/od/isolationforest.py:8-147`` semantics: fit on the
+    reference, score = anomaly score, higher = more anomalous; the detector's
+    ``infer_threshold`` percentile + ``is_outlier`` comparison are the
+    caller's two cheap column ops on this output). Seeded NumPy forest fitted
+    on the broadcast reference (sklearn-free — see
+    :mod:`..functions.iforest`), scored in one ``mapInPandas`` corpus scan —
+    the same no-corpus-shuffle shape as every other outlier scan here."""
+    from ..functions.iforest import IsolationForest
+
+    _, _, r = _collect_matrix(emb, ref_pred, id_col)
+    det = IsolationForest.fit(r, n_trees=n_trees, max_samples=max_samples, seed=seed)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[EMB_COL].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "iforest_score": np.round(det.score(x), 6),
+                }
+            )
+
+    return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, iforest_score double")
+
+
 def kernel_pca_outlier_scores(
     emb: DataFrame,
     ref_pred,
