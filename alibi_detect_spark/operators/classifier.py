@@ -123,7 +123,7 @@ def classifier_drift_lr(
     id_col: str,
     sample: str = "sample",
     n_folds: int = 3,
-    max_iter: int = 20,
+    max_iter: int = 10,
     reg_param: float = 0.01,
 ) -> DataFrame:
     """LogisticRegression ClassifierDrift (the reference's default classifier

@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "fet_drift",
     "tabular_drift",
     "uncertainty_drift",
+    "uncertainty_margin_drift",
+    "classifier_drift",
+    "classifier_drift_lr",
+    "drift_fdr",
     "mahalanobis_topk",
     "knn_outlier",
     "knn_ensemble",
@@ -45,6 +49,7 @@ BENCH_QUERIES = [
     "gmm_outlier",
     "lof_outlier",
     "kpca_outlier",
+    "iforest_outlier",
     "sr_saliency",
     "mmd_online",
     "fet_online",
@@ -64,6 +69,7 @@ BENCH_QUERIES = [
     "token_counts",
     "fingerprint",
     "quantile_thresholds",
+    "reservoir_sample",
     "tpch_q1",
 ]
 
