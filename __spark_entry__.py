@@ -232,6 +232,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["iforest_outlier"] = lambda s, sf: outlier.iforest_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0
     )
+    # context = hour-of-day; tests drift of P(value | time-of-day) while
+    # staying insensitive to pure time-of-day distribution shift
+    q["context_mmd_drift"] = lambda s, sf: drift.context_mmd_drift(
+        _events_labeled(s, sf).withColumn(
+            "c_hour", ((F.unix_timestamp("ts") / 3600.0) % 24).cast("double")
+        ),
+        "value",
+        ["c_hour"],
+        order_col="event_id",
+    )
     q["uncertainty_margin_drift"] = lambda s, sf: drift.uncertainty_drift(
         _t(s, sf, "embeddings").withColumn(
             "sample",

@@ -63,6 +63,7 @@ REGISTRY: dict[str, Callable] = {
     "embedding_near_pairs": dedup.embedding_near_pairs,
     "mmd_perm_test": drift.mmd_perm_test,
     "mmd_perm_test_hash": drift.mmd_perm_test_hash,
+    "context_mmd_drift": drift.context_mmd_drift,
     "lsdd_perm_test": drift.lsdd_perm_test,
     "ks_2samp": drift.ks_2samp,
     "cvm_2samp": drift.cvm_2samp,

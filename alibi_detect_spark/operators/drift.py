@@ -467,6 +467,70 @@ def mmd_perm_test(
     )
 
 
+def context_mmd_drift(
+    df: DataFrame,
+    value: str,
+    context_cols: list[str],
+    sample: str = "sample",
+    n_per_side: int = 200,
+    n_permutations: int = 50,
+    seed: int = 42,
+    order_col: str | None = None,
+) -> DataFrame:
+    """ContextMMDDrift (``alibi_detect/cd/context_aware.py:18-171``): tests
+    whether P(x | c) differs between ref and test while remaining insensitive
+    to shifts in the context distribution itself. Deterministic head
+    subsamples per side; the seeded NumPy kernel
+    (:mod:`..functions.context_mmd`) runs in one Arrow group — kernel sizes
+    are bounded by ``n_per_side``, matching the reference's in-memory
+    contract. Seeded permutations → rows-only driver check + behavioral
+    pytest."""
+    import pandas as pd
+
+    from ..functions.context_mmd import context_mmd_2samp
+
+    oc = order_col or value
+    w = Window.partitionBy("s").orderBy("o")
+    sub = (
+        df.select(
+            F.col(sample).alias("s"),
+            F.col(value).cast("double").alias("v"),
+            *[F.col(c).cast("double").alias(f"c{i}") for i, c in enumerate(context_cols)],
+            F.col(oc).alias("o"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_side)
+        .drop("o")
+    )
+    c_cols = [f"c{i}" for i in range(len(context_cols))]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["s", "rn"], kind="mergesort")
+        ref = pdf[pdf["s"] == "ref"]
+        test = pdf[pdf["s"] != "ref"]
+        res = context_mmd_2samp(
+            ref["v"].to_numpy()[:, None],
+            ref[c_cols].to_numpy(),
+            test["v"].to_numpy()[:, None],
+            test[c_cols].to_numpy(),
+            n_permutations=n_permutations,
+            seed=seed,
+        )
+        return pd.DataFrame(
+            {
+                "n_ref": [res.n_ref],
+                "n_test": [res.n_test],
+                "cmmd_stat": [round(res.stat, 6)],
+                "threshold": [round(res.threshold, 6)],
+                "p_value": [round(res.p_value, 6)],
+            }
+        )
+
+    return sub.groupBy().applyInPandas(
+        fn, schema="n_ref long, n_test long, cmmd_stat double, threshold double, p_value double"
+    )
+
+
 def mmd_perm_test_hash(
     df: DataFrame,
     value: str,
