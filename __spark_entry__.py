@@ -232,6 +232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["iforest_outlier"] = lambda s, sf: outlier.iforest_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0
     )
+    q["svm_outlier"] = lambda s, sf: outlier.svm_outlier_scores(
+        _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0
+    )
     # context = hour-of-day; tests drift of P(value | time-of-day) while
     # staying insensitive to pure time-of-day distribution shift
     q["context_mmd_drift"] = lambda s, sf: drift.context_mmd_drift(
@@ -249,6 +252,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "embedding",
         uncertainty_type="margin",
+    )
+    q["regressor_uncertainty_drift"] = lambda s, sf: drift.regressor_uncertainty_drift(
+        _t(s, sf, "embeddings").withColumn(
+            "sample",
+            F.when(F.col("vec_id") % 2 == 0, F.lit("ref")).otherwise(F.lit("test")),
+        ),
+        "embedding",
     )
     q["drift_fdr"] = lambda s, sf: drift.drift_corrections(
         drift.ks_2samp(_events_labeled(s, sf), "event_type", "value"),
@@ -902,6 +912,33 @@ cm AS (SELECT s, sum(obs) AS col_n FROM cells GROUP BY 1)
 SELECT round(sum((obs - row_n*col_n/n) * (obs - row_n*col_n/n) / (row_n*col_n/n)), 9) AS chi2_stat,
        CAST((count(DISTINCT cells.lm) - 1) * (count(DISTINCT cells.s) - 1) AS BIGINT) AS dof
 FROM cells JOIN rm USING (lm) JOIN cm USING (s) CROSS JOIN tot
+"""
+
+    o["regressor_uncertainty_drift"] = """
+WITH base AS (SELECT list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS sm,
+                     CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s
+              FROM embeddings),
+lab AS (SELECT round(sqrt(greatest(
+            list_reduce(list_transform(sm, x -> x*x), (a, b) -> a + b)/8
+          - (list_reduce(sm, (a, b) -> a + b)/8)*(list_reduce(sm, (a, b) -> a + b)/8), 0.0)), 9) AS unc,
+               s FROM base)
+SELECT 'reg_std' AS feature, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_test AS BIGINT) AS n_test,
+       round(d_raw, 9) AS ks_stat,
+       round(CASE WHEN tt <= 0 THEN 1.0 ELSE
+         least(greatest(list_sum(list_transform(generate_series(1, 100),
+           k -> 2.0 * pow(-1.0, k-1) * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * tt * tt))), 0.0), 1.0)
+       END, 9) AS p_value
+FROM (SELECT n_ref, n_test, d_raw, sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS tt
+      FROM (SELECT n_ref, n_test, max(abs(cum_ref/n_ref - cum_test/n_test)) AS d_raw
+            FROM (SELECT sum(c_ref)  OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_ref,
+                         sum(c_test) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_test,
+                         sum(c_ref)  OVER () AS n_ref,
+                         sum(c_test) OVER () AS n_test
+                  FROM (SELECT unc AS v,
+                               sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+                               sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS c_test
+                        FROM lab GROUP BY 1))
+            GROUP BY 1, 2))
 """
 
     o["drift_fdr"] = f"""

@@ -64,6 +64,7 @@ REGISTRY: dict[str, Callable] = {
     "mmd_perm_test": drift.mmd_perm_test,
     "mmd_perm_test_hash": drift.mmd_perm_test_hash,
     "context_mmd_drift": drift.context_mmd_drift,
+    "regressor_uncertainty_drift": drift.regressor_uncertainty_drift,
     "lsdd_perm_test": drift.lsdd_perm_test,
     "ks_2samp": drift.ks_2samp,
     "cvm_2samp": drift.cvm_2samp,
@@ -94,6 +95,7 @@ ANN_REGISTRY = {
     "gmm_outlier_scores": outlier.gmm_outlier_scores,
     "lof_outlier_scores": outlier.lof_outlier_scores,
     "iforest_outlier_scores": outlier.iforest_outlier_scores,
+    "svm_outlier_scores": outlier.svm_outlier_scores,
 }
 
 

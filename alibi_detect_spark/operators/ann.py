@@ -26,6 +26,10 @@ EMB_COL = "embedding"
 
 def _collect_matrix(emb: DataFrame, pred, id_col: str, extra: list[str] | None = None):
     pdf = emb.where(pred).select(id_col, *(extra or []), EMB_COL).toPandas()
+    # canonical id order: collection order otherwise depends on partitioning,
+    # and seeded fits (GMM init, SVM/IForest subsamples) must be functions of
+    # the DATA, never of task scheduling (the repo's determinism invariant)
+    pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
     ids = pdf[id_col].to_numpy()
     m = np.stack(pdf[EMB_COL].to_numpy()).astype(np.float64)
     return pdf, ids, m

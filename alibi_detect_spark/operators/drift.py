@@ -340,6 +340,33 @@ def uncertainty_drift(
     return ks_2samp(feat, "feature", "value", sample)
 
 
+def regressor_uncertainty_drift(
+    df: DataFrame,
+    samples_col: str,
+    sample: str = "sample",
+    n_samples: int = 8,
+) -> DataFrame:
+    """RegressorUncertaintyDrift (``alibi_detect/cd/model_uncertainty.py:171-299``
+    + ``cd/preprocess.py:60-96 regressor_uncertainty``): the reference scores
+    uncertainty as the std over MC-dropout / ensemble predictions, then runs
+    KS drift on the uncertainties. The engine's analog takes the prediction
+    samples as a provided array column (the served ensemble's outputs —
+    MC-dropout needs the model, which is out of scope by design) and computes
+    ``std = sqrt(E[s²] − E[s]²)`` as pure column math feeding the relational
+    KS test. Uncertainties are rounded to 9dp before the ECDF (tie-group
+    stability across engines)."""
+    s = F.slice(F.transform(F.col(samples_col), lambda x: x.cast("double")), 1, n_samples)
+    mean = F.aggregate(s, F.lit(0.0), lambda a, b: a + b) / n_samples
+    meansq = F.aggregate(s, F.lit(0.0), lambda a, b: a + b * b) / n_samples
+    unc = F.sqrt(F.greatest(meansq - mean * mean, F.lit(0.0)))
+    feat = df.select(
+        F.lit("reg_std").alias("feature"),
+        F.round(unc, 9).alias("value"),
+        sample,
+    )
+    return ks_2samp(feat, "feature", "value", sample)
+
+
 def drift_corrections(
     df: DataFrame, feature_cols: list[str], p_col: str = "p_value", q: float = 0.05
 ) -> DataFrame:

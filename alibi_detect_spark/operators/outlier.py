@@ -180,6 +180,39 @@ def iforest_outlier_scores(
     return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, iforest_score double")
 
 
+def svm_outlier_scores(
+    emb: DataFrame,
+    ref_pred,
+    nu: float = 0.1,
+    n_components: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-class SVM outlier score (``alibi_detect/od/_svm.py:27-250``
+    semantics: fit on the reference, score = distance inside the margin,
+    higher = more anomalous). Seeded NumPy Nyström + primal GD fit on the
+    broadcast reference (:mod:`..functions.svm`), one ``mapInPandas`` corpus
+    scan — a [batch × m] kernel block per Arrow batch, no corpus shuffle."""
+    from ..functions.svm import OneClassSVM
+
+    _, _, r = _collect_matrix(emb, ref_pred, id_col)
+    det = OneClassSVM.fit(r, nu=nu, n_components=n_components, seed=seed)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[EMB_COL].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "svm_score": np.round(det.score(x), 6),
+                }
+            )
+
+    return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, svm_score double")
+
+
 def kernel_pca_outlier_scores(
     emb: DataFrame,
     ref_pred,

@@ -89,3 +89,40 @@ def test_iforest_seeded_reproducible(seed):
     b = IsolationForest.fit(x_ref, n_trees=20, max_samples=64, seed=seed)
     xs = rng.standard_normal((50, 3))
     assert np.array_equal(a.score(xs), b.score(xs))
+
+
+def test_svm_one_class_detects_off_cluster():
+    """OneClassSVM (od/_svm.py semantics): off-cluster instances score high."""
+    from alibi_detect_spark.functions.svm import OneClassSVM
+
+    rng = np.random.default_rng(55)
+    x_ref = rng.standard_normal((400, 4))
+    det = OneClassSVM.fit(x_ref, nu=0.1, n_components=64, seed=6)
+    x = rng.standard_normal((200, 4))
+    out_idx = [7, 77, 190]
+    x[out_idx] += 6.0
+    s = det.score(x)
+    thr = np.percentile(s, 95)
+    assert set(out_idx) <= set(np.where(s > thr)[0])
+    # reference points mostly inside the margin: their scores sit below the
+    # off-cluster ones
+    assert s[out_idx].min() > np.median(s)
+
+
+def test_svm_spark_scan_matches_numpy(spark):
+    from alibi_detect_spark.functions.svm import OneClassSVM
+    from alibi_detect_spark.operators.outlier import svm_outlier_scores
+
+    rng = np.random.default_rng(56)
+    x = rng.standard_normal((300, 4))
+    rows = [(int(i), [float(v) for v in r]) for i, r in enumerate(x)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = (
+        svm_outlier_scores(df.repartition(7), F.col("vec_id") % 2 == 0, seed=8)
+        .toPandas()
+        .sort_values("vec_id")["svm_score"]
+        .to_numpy()
+    )
+    det = OneClassSVM.fit(x[::2], nu=0.1, n_components=64, seed=8)
+    want = np.round(det.score(x), 6)
+    assert np.array_equal(got, want)
