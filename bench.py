@@ -39,8 +39,10 @@ BENCH_QUERIES = [
     "tabular_drift",
     "uncertainty_drift",
     "uncertainty_margin_drift",
+    "regressor_uncertainty_drift",
     "classifier_drift",
     "classifier_drift_lr",
+    "context_mmd_drift",
     "drift_fdr",
     "mahalanobis_topk",
     "knn_outlier",
@@ -50,6 +52,7 @@ BENCH_QUERIES = [
     "lof_outlier",
     "kpca_outlier",
     "iforest_outlier",
+    "svm_outlier",
     "sr_saliency",
     "mmd_online",
     "fet_online",
