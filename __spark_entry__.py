@@ -293,11 +293,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kpca_outlier"] = lambda s, sf: outlier.kernel_pca_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=4
     )
+    # 3dp rounding: np.fft vs the oracle's explicit DFT diverge up to ~3e-7
+    # on SHORT series (near-zero spectral bins amplify through the log);
+    # at 3dp the knife-edge probability is negligible at every sf
     q["sr_saliency"] = lambda s, sf: (
         score_rollup(_events_as_rollup(s, sf))
         .where(F.col("sr_score").isNotNull() & ~F.isnan("sr_score"))
         .select(
-            "source", "bucket_ts", F.round("sr_score", 6).alias("sr_score"), "is_outlier"
+            "source",
+            "bucket_ts",
+            # + 0.0 canonicalizes -0.0 (coarse rounding can produce it, and
+            # the driver's CSV hash distinguishes "-0" from "0")
+            (F.round("sr_score", 3) + F.lit(0.0)).alias("sr_score"),
+            "is_outlier",
         )
     )
     # deterministic-split online-MMD stat trajectory (SQL-oracle-checkable;
@@ -362,7 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "avg_value",
         )
         .where(fin("cvm_stat"))
-        .select("event_type", "bucket_ts", F.round("cvm_stat", 6).alias("cvm_stat"))
+        .select("event_type", "bucket_ts", (F.round("cvm_stat", 6) + F.lit(0.0)).alias("cvm_stat"))
     )
 
     def online_decisions(s, sf):
@@ -629,7 +637,7 @@ b AS (SELECT event_type, phase,
       FROM v GROUP BY 1, 2)
 SELECT v.event_type AS event_type, v.bucket_ts AS bucket_ts, v.y AS avg_value,
        band_lo, band_hi,
-       round(greatest(v.y - band_hi, band_lo - v.y), 6) AS season_score,
+       round(greatest(v.y - band_hi, band_lo - v.y), 6) + 0.0 AS season_score,
        CAST(greatest(v.y - band_hi, band_lo - v.y) > 0 AS INTEGER) AS is_outlier
 FROM v JOIN b ON v.event_type = b.event_type AND v.phase = b.phase
 """
@@ -701,7 +709,7 @@ SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_test AS BIGINT) AS n_t
        round(
          (CAST(n_ref AS DOUBLE)*sx + CAST(n_test AS DOUBLE)*sy)
            / (CAST(n_ref AS DOUBLE)*CAST(n_test AS DOUBLE)*(CAST(n_ref AS DOUBLE)+CAST(n_test AS DOUBLE)))
-         - (4*CAST(n_test AS DOUBLE)*CAST(n_ref AS DOUBLE) - 1)/(6*(CAST(n_test AS DOUBLE)+CAST(n_ref AS DOUBLE))), 9) AS cvm_stat
+         - (4*CAST(n_test AS DOUBLE)*CAST(n_ref AS DOUBLE) - 1)/(6*(CAST(n_test AS DOUBLE)+CAST(n_ref AS DOUBLE))), 9) + 0.0 AS cvm_stat
 FROM b
 """
 
@@ -733,7 +741,7 @@ agg AS (SELECT
   sum(CASE WHEN sa = 'ref' AND sb <> 'ref' THEN 1 ELSE 0 END) AS nm
   FROM p)
 SELECT CAST(sqrt(nn) AS BIGINT) AS n_ref, CAST(sqrt(mm) AS BIGINT) AS n_test,
-       round(kxx/(sqrt(nn)*(sqrt(nn)-1)) + kyy/(sqrt(mm)*(sqrt(mm)-1)) - 2*kxy/nm, 6) AS mmd2
+       round(kxx/(sqrt(nn)*(sqrt(nn)-1)) + kyy/(sqrt(mm)*(sqrt(mm)-1)) - 2*kxy/nm, 6) + 0.0 AS mmd2
 FROM agg
 """
 
@@ -765,7 +773,7 @@ ps AS (SELECT ax.p AS p,
                JOIN assign bx ON bx.gid = pairs.ib AND bx.p = ax.p
     GROUP BY 1)
 SELECT CAST(256 AS BIGINT) AS n_ref, CAST(256 AS BIGINT) AS n_test,
-       round(obs.stat, 6) AS mmd2,
+       round(obs.stat, 6) + 0.0 AS mmd2,
        round(sum(CASE WHEN obs.stat <= ps.stat THEN 1 ELSE 0 END)/100.0, 6) AS p_value
 FROM ps CROSS JOIN obs GROUP BY obs.stat
 """
@@ -1032,10 +1040,10 @@ nm AS (SELECT vec_id,
               (d7 - s7/n) / sqrt(ss7/n - (s7/n)*(s7/n)) AS n7
        FROM d CROSS JOIN st)
 SELECT vec_id,
-       round((n3 + n5 + n7) / 3, 5) AS avg_score,
-       round(greatest(n3, n5, n7), 5) AS max_score,
-       round(least(n3, n5, n7), 5) AS min_score,
-       round(((n3 + n5 + n7) - least(n3, n5, n7)) / 2, 5) AS top2_score
+       round((n3 + n5 + n7) / 3, 5) + 0.0 AS avg_score,
+       round(greatest(n3, n5, n7), 5) + 0.0 AS max_score,
+       round(least(n3, n5, n7), 5) + 0.0 AS min_score,
+       round(((n3 + n5 + n7) - least(n3, n5, n7)) / 2, 5) + 0.0 AS top2_score
 FROM nm
 """
 
@@ -1213,7 +1221,7 @@ SELECT s.event_type AS event_type, s.bucket_ts AS bucket_ts,
        round((s2 * (100.0*10.0/(110.0*110.0)) - (1.0/6.0 + 1.0/(6.0*110.0)))
              / sqrt(((110.0+1.0)*(4.0*100.0*10.0*110.0 - 3.0*(100.0*100.0+10.0*10.0)
                                   - 2.0*100.0*10.0))
-                    / (45.0*110.0*110.0*4.0*100.0*10.0)), 6) AS cvm_stat
+                    / (45.0*110.0*110.0*4.0*100.0*10.0)), 6) + 0.0 AS cvm_stat
 FROM terms JOIN s ON s.event_type = terms.event_type AND s.rn = 100 + terms.t
 """
 
@@ -1285,7 +1293,7 @@ stat AS (SELECT source, i,
     - 2.0 * (list_reduce(list_transform(generate_series(i + 1, i + 10), p -> kc[p]),
              (x, y) -> x + y) / 10.0) AS mmd2
     FROM steps)
-SELECT s.source AS source, s.bucket_ts AS bucket_ts, round(stat.mmd2, 6) AS mmd_stat
+SELECT s.source AS source, s.bucket_ts AS bucket_ts, round(stat.mmd2, 6) + 0.0 AS mmd_stat
 FROM stat JOIN s ON s.source = stat.source AND s.rn = 64 + stat.i
 """
 
@@ -1362,7 +1370,7 @@ score AS (SELECT event_type, n,
     list_transform(generate_series(1, n), k -> (sl[k] - ms[k]) / (ms[k] + 1e-8)) AS sc
     FROM masal)
 SELECT s.event_type AS source, s.bucket_ts AS bucket_ts,
-       round(score.sc[s.rn], 6) AS sr_score,
+       round(score.sc[s.rn], 3) + 0.0 AS sr_score,
        CAST(score.sc[s.rn] > 3.0 AS INTEGER) AS is_outlier
 FROM score JOIN s ON s.event_type = score.event_type AND s.rn <= score.n
 """

@@ -91,11 +91,11 @@ def knn_ensemble_scores(
     nmax = F.greatest(*[F.col(f"n{k}") for k in ks])
     return normed.select(
         "vec_id",
-        F.round(nsum / len(ks), 5).alias("avg_score"),
-        F.round(nmax, 5).alias("max_score"),
-        F.round(nmin, 5).alias("min_score"),
+        (F.round(nsum / len(ks), 5) + F.lit(0.0)).alias("avg_score"),
+        (F.round(nmax, 5) + F.lit(0.0)).alias("max_score"),
+        (F.round(nmin, 5) + F.lit(0.0)).alias("min_score"),
         # TopKAggregator(k=2) over |ks|=3 normalized scores = mean of all-but-min
-        F.round((nsum - nmin) / (len(ks) - 1), 5).alias("top2_score"),
+        (F.round((nsum - nmin) / (len(ks) - 1), 5) + F.lit(0.0)).alias("top2_score"),
     )
 
 

@@ -168,7 +168,7 @@ def seasonal_band_outliers(
         F.col("y").alias(value),
         "band_lo",
         "band_hi",
-        F.round(score, 6).alias("season_score"),
+        (F.round(score, 6) + F.lit(0.0)).alias("season_score"),
         (score > 0).cast("int").alias("is_outlier"),
     )
 
@@ -424,7 +424,7 @@ def mmd_online_stats_over(
             {
                 key: pdf[key].to_numpy()[n_ref:],
                 order_col: pdf[order_col].to_numpy()[n_ref:],
-                "mmd_stat": np.round(stats, 6),
+                "mmd_stat": np.round(stats, 6) + 0.0,
             }
         )
 

@@ -130,7 +130,7 @@ def cvm_2samp(df: DataFrame, key: str, value: str, sample: str = "sample") -> Da
         key,
         F.col("n_ref"),
         F.col("n_test"),
-        F.round(t_stat, 9).alias("cvm_stat"),
+        (F.round(t_stat, 9) + F.lit(0.0)).alias("cvm_stat"),
     )
 
 
@@ -207,7 +207,7 @@ def mmd_2samp(
     return agg.select(
         n.cast("long").alias("n_ref"),
         m.cast("long").alias("n_test"),
-        F.round(mmd2, 6).alias("mmd2"),
+        (F.round(mmd2, 6) + F.lit(0.0)).alias("mmd2"),
     )
 
 
@@ -484,7 +484,7 @@ def mmd_perm_test(
             {
                 "n_ref": [len(x)],
                 "n_test": [len(y)],
-                "mmd2": [round(stat, 6)],
+                "mmd2": [round(stat, 6) + 0.0],
                 "p_value": [round(p, 6)],
             }
         )
@@ -625,7 +625,7 @@ def mmd_perm_test_hash(
             {
                 "n_ref": [n],
                 "n_test": [m],
-                "mmd2": [round(stat, 6)],
+                "mmd2": [round(stat, 6) + 0.0],
                 "p_value": [round(hits / n_permutations, 6)],
             }
         )
@@ -669,7 +669,7 @@ def lsdd_perm_test(
             {
                 "n_ref": [len(x)],
                 "n_test": [len(y)],
-                "lsdd_stat": [round(stat, 6)],
+                "lsdd_stat": [round(stat, 6) + 0.0],
                 "p_value": [round(p, 6)],
             }
         )
