@@ -153,6 +153,44 @@ def main() -> None:
         "docs emits 10^12 candidate rows.",
     )
 
+    # 6d. classifier drift (NB): per-fold moment table is a BROADCAST join
+    #     onto the stream; no sort-merge join anywhere in the plan
+    audit(
+        "classifier_drift",
+        qs["classifier_drift"](spark, SF),
+        requires=["BroadcastHashJoin", "HashAggregate"],
+        forbids=["SortMergeJoin", "CartesianProduct"],
+        note="Gaussian-NB ClassifierDrift: leave-fold-out class moments come "
+        "from one partial+final DECIMAL aggregate; the (n_folds)-row moment "
+        "table broadcasts back onto the stream — the raw data shuffles only "
+        "for the final KS ECDF groupBy.",
+    )
+
+    # 6e. deterministic online-MMD stats: one ordered python stage per key,
+    #     no joins at all on the stream side
+    audit(
+        "mmd_online",
+        qs["mmd_online"](spark, SF),
+        requires=["FlatMapGroupsInPandas"],
+        forbids=["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        note="Online-MMD stat trajectory: banded kernel sums inside one "
+        "grouped Arrow stage per source — the series shuffles once on the "
+        "key, never joins.",
+    )
+
+    # 6f. reservoir sample: global top-n must be TakeOrderedAndProject
+    #     (per-partition top-n + tiny merge), never a full sort shuffle
+    audit(
+        "reservoir_sample",
+        qs["reservoir_sample"](spark, SF),
+        requires=["TakeOrderedAndProject"],
+        forbids=["Exchange rangepartitioning"],
+        note="Distributed reservoir = n smallest md5 priorities: Spark "
+        "compiles orderBy+limit to TakeOrderedAndProject — each partition "
+        "keeps n candidates and the driver merges n·p rows; a range-partition "
+        "sort here would shuffle the full table.",
+    )
+
     # 7. dedup minhash: signature agg is partial+final (no raw-shingle shuffle
     #    of text), candidate join is an equi-join
     audit(
