@@ -220,3 +220,141 @@ def ewma_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+CVM_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("bucket_ts", LongType()),
+        StructField("cvm_stats", ArrayType(DoubleType())),
+        StructField("cvm_threshold", DoubleType()),
+        StructField("cvm_is_drift", LongType()),
+    ]
+)
+CVM_STATE_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("tail", ArrayType(DoubleType())),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+
+def cvm_stream(rollup: DataFrame, detectors: dict, value_col: str = "sum_n_tok") -> DataFrame:
+    """Streaming online-CVM drift (multi-window) as a custom stateful operator
+    (``applyInPandasWithState``): detectors are fitted batch-side — the
+    distribution-free thresholds once on the driver — and shipped in the
+    closure; the state store carries (raw time t, the last ``max_ws−1``
+    stream points) per source. Because the CVM window counts are integers,
+    chunked micro-batch scoring reproduces the batch replay bit-for-bit."""
+    import numpy as np
+
+    def fn(key, pdf_iter, state):
+        (source,) = key
+        det = detectors.get(source)
+        if det is None:
+            return
+        if state.exists:
+            t0, tail, last_ts = state.get
+            warm = np.asarray(tail, dtype=np.float64)
+        else:
+            t0, warm, last_ts = 0, None, -1
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+            pdf = pdf[pdf["bucket_ts"] > last_ts]
+            if not len(pdf):
+                continue
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            stats, thr, drift, carry = det.score_stream(x, t0=int(t0), warm=warm)
+            t0, warm = carry["t"], carry["tail"]
+            last_ts = int(pdf["bucket_ts"].iloc[-1])
+            yield pd.DataFrame(
+                {
+                    "source": source,
+                    "bucket_ts": pdf["bucket_ts"].to_numpy(dtype=np.int64),
+                    "cvm_stats": [list(row) for row in stats],
+                    "cvm_threshold": thr,
+                    "cvm_is_drift": drift.astype(np.int64),
+                }
+            )
+        state.update((int(t0), [float(v) for v in (warm if warm is not None else [])], last_ts))
+
+    return rollup.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=CVM_OUT_SCHEMA,
+        stateStructType=CVM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+FET_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("bucket_ts", LongType()),
+        StructField("fet_stats", ArrayType(DoubleType())),
+        StructField("fet_threshold", DoubleType()),
+        StructField("fet_is_drift", LongType()),
+    ]
+)
+FET_STATE_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("ewma", ArrayType(DoubleType())),
+        StructField("tail", ArrayType(LongType())),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+
+def fet_stream(rollup: DataFrame, detectors: dict, bit_col: str = "bit") -> DataFrame:
+    """Streaming online-FET drift (multi-window): state = (raw time, per-window
+    EWMA carries, last ``max_ws−1`` bits). The EWMA recursion continues across
+    micro-batches exactly, so trajectories bit-match the batch replay."""
+    import numpy as np
+
+    def fn(key, pdf_iter, state):
+        (source,) = key
+        det = detectors.get(source)
+        if det is None:
+            return
+        if state.exists:
+            t0, carry_e, tail, last_ts = state.get
+            carry = np.asarray(carry_e, dtype=np.float64) if len(carry_e) else None
+            warm = np.asarray(tail, dtype=np.int64)
+        else:
+            t0, carry, warm, last_ts = 0, None, None, -1
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+            pdf = pdf[pdf["bucket_ts"] > last_ts]
+            if not len(pdf):
+                continue
+            bits = pdf[bit_col].to_numpy(dtype=np.int64)
+            stats, thr, drift, c = det.score_stream(bits, t0=int(t0), carry=carry, warm=warm)
+            t0, carry, warm = c["t"], c["ewma"], c["tail"]
+            last_ts = int(pdf["bucket_ts"].iloc[-1])
+            yield pd.DataFrame(
+                {
+                    "source": source,
+                    "bucket_ts": pdf["bucket_ts"].to_numpy(dtype=np.int64),
+                    "fet_stats": [list(row) for row in stats],
+                    "fet_threshold": thr,
+                    "fet_is_drift": drift.astype(np.int64),
+                }
+            )
+        state.update(
+            (
+                int(t0),
+                [float(v) for v in (carry if carry is not None else [])],
+                [int(v) for v in (warm if warm is not None else [])],
+                last_ts,
+            )
+        )
+
+    return rollup.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=FET_OUT_SCHEMA,
+        stateStructType=FET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

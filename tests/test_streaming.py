@@ -176,3 +176,123 @@ def test_mmd_stream_bitmatches_batch(spark, tmp_path, cfg):
             g["mmd_stat"].to_numpy(np.float64).view(np.uint64), stats.view(np.uint64)
         ), source
         assert np.array_equal(g["mmd_is_drift"].to_numpy(np.int64), drift.astype(np.int64)), source
+
+
+def test_cvm_stream_bitmatches_batch(spark, tmp_path, cfg):
+    """Streaming multi-window online-CVM must reproduce the batch replay
+    bit-for-bit across micro-batches (integer window counts make the chunked
+    scoring exact)."""
+    tmp = str(tmp_path)
+    from alibi_detect_spark.functions.cvm import OnlineCVM, fit_thresholds
+    from alibi_detect_spark.streaming.rollup_stream import cvm_stream
+
+    raw = spark.createDataFrame(
+        synth_batch(np.arange(0, 40_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    rollup = rollup_tier1(raw, "1h").toPandas().sort_values(["source", "bucket_ts"])
+    n_ref, wins = 48, (5, 10)
+    thr_shared = fit_thresholds(n_ref, wins, ert=40.0, n_bootstraps=200, seed=42)
+
+    dets, batch_out = {}, {}
+    for source, grp in rollup.groupby("source"):
+        x = grp["sum_n_tok"].to_numpy(np.float64)
+        det = OnlineCVM.fit(x[:n_ref], ert=40.0, window_sizes=wins, thresholds=thr_shared)
+        dets[source] = det
+        stats, thr, drift, _ = det.score_stream(x[n_ref:])
+        batch_out[source] = (grp["bucket_ts"].to_numpy()[n_ref:], stats, drift)
+
+    post = rollup.groupby("source", group_keys=False).apply(lambda g: g.iloc[n_ref:])
+    cut = post["bucket_ts"].median()
+    os.makedirs(f"{tmp}/cin", exist_ok=True)
+    post[post["bucket_ts"] <= cut].to_parquet(f"{tmp}/cin/p0.parquet", index=False)
+    post[post["bucket_ts"] > cut].to_parquet(f"{tmp}/cin/p1.parquet", index=False)
+    src = (
+        spark.readStream.schema(
+            "source string, bucket_ts long, n_docs long, sum_n_tok long,"
+            " min_n_tok int, max_n_tok int, mean_n_tok double, gapfilled boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/cin")
+    )
+    q = (
+        cvm_stream(src, dets)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/cout")
+        .option("checkpointLocation", f"{tmp}/cckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{tmp}/cout").toPandas().sort_values(["source", "bucket_ts"])
+
+    for source, (ts, stats, drift) in batch_out.items():
+        g = got[got["source"] == source].sort_values("bucket_ts")
+        assert np.array_equal(g["bucket_ts"].to_numpy(), ts), source
+        got_stats = np.stack(g["cvm_stats"].to_numpy())
+        assert np.array_equal(
+            np.nan_to_num(got_stats, nan=-1.0).view(np.uint64),
+            np.nan_to_num(stats, nan=-1.0).view(np.uint64),
+        ), source
+        assert np.array_equal(g["cvm_is_drift"].to_numpy(np.int64), drift.astype(np.int64)), source
+
+
+def test_fet_stream_bitmatches_batch(spark, tmp_path, cfg):
+    """Streaming multi-window online-FET: the EWMA carries in the state store
+    continue the recursion exactly across micro-batches."""
+    tmp = str(tmp_path)
+    from alibi_detect_spark.functions.fet import OnlineFET
+    from alibi_detect_spark.operators.detect import source_seed
+    from alibi_detect_spark.streaming.rollup_stream import fet_stream
+
+    raw = spark.createDataFrame(
+        synth_batch(np.arange(0, 40_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    rollup = rollup_tier1(raw, "1h").toPandas().sort_values(["source", "bucket_ts"])
+    med = rollup["sum_n_tok"].median()
+    rollup["bit"] = (rollup["sum_n_tok"] > med).astype(np.int64)
+    n_ref, wins = 60, (8, 15)
+
+    dets, batch_out = {}, {}
+    for source, grp in rollup.groupby("source"):
+        bits = grp["bit"].to_numpy(np.int64)
+        det = OnlineFET.fit(bits[:n_ref], ert=40.0, window_sizes=wins,
+                            n_bootstraps=400, seed=source_seed(source, 7))
+        dets[source] = det
+        stats, thr, drift, _ = det.score_stream(bits[n_ref:])
+        batch_out[source] = (grp["bucket_ts"].to_numpy()[n_ref:], stats, drift)
+
+    post = rollup.groupby("source", group_keys=False).apply(lambda g: g.iloc[n_ref:])
+    cut = post["bucket_ts"].median()
+    os.makedirs(f"{tmp}/fin", exist_ok=True)
+    post[post["bucket_ts"] <= cut].to_parquet(f"{tmp}/fin/p0.parquet", index=False)
+    post[post["bucket_ts"] > cut].to_parquet(f"{tmp}/fin/p1.parquet", index=False)
+    src = (
+        spark.readStream.schema(
+            "source string, bucket_ts long, n_docs long, sum_n_tok long,"
+            " min_n_tok int, max_n_tok int, mean_n_tok double, gapfilled boolean, bit long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/fin")
+    )
+    q = (
+        fet_stream(src, dets)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/fout")
+        .option("checkpointLocation", f"{tmp}/fckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{tmp}/fout").toPandas().sort_values(["source", "bucket_ts"])
+
+    for source, (ts, stats, drift) in batch_out.items():
+        g = got[got["source"] == source].sort_values("bucket_ts")
+        assert np.array_equal(g["bucket_ts"].to_numpy(), ts), source
+        got_stats = np.stack(g["fet_stats"].to_numpy())
+        assert np.array_equal(
+            np.nan_to_num(got_stats, nan=-1.0).view(np.uint64),
+            np.nan_to_num(stats, nan=-1.0).view(np.uint64),
+        ), source
+        assert np.array_equal(g["fet_is_drift"].to_numpy(np.int64), drift.astype(np.int64)), source
