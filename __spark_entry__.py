@@ -427,6 +427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda s, sf: ann.cosine_topk_ivf(
         _t(s, sf, "embeddings"), F.col("vec_id") < 10, k=3
     )
+    # IVF index BUILD: deterministic quantized k-means cell assignment
+    q["ann_ivf_build"] = lambda s, sf: ann.kmeans_cells(
+        _t(s, sf, "embeddings"), n_cells=8, n_iter=2
+    )
 
     # --- text analysis ----------------------------------------------------
     q["lang_id"] = lambda s, sf: textstats.lang_id(_t(s, sf, "documents"))
@@ -1071,6 +1075,63 @@ pairs AS (SELECT query_id, match_id, round({_COS}, 6) AS cosine
 rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank
        FROM pairs)
 SELECT query_id, match_id, cosine, CAST(rank AS INTEGER) AS rank FROM rk WHERE rank <= 3
+"""
+
+    _KDIST = (
+        "list_reduce(list_transform(generate_series(1,64), i -> "
+        "({b}.qv[i]/1000000.0 - {c}.c[i])*({b}.qv[i]/1000000.0 - {c}.c[i])), (x,y) -> x+y)"
+    )
+    _KASSIGN = """
+SELECT vec_id, qv, cell FROM (
+    SELECT b.vec_id, b.qv, {c}.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY {dist}, {c}.cell) AS rn
+    FROM base b CROSS JOIN {c}) WHERE rn = 1
+"""
+    _KUPDATE = """
+SELECT c_prev.cell AS cell, coalesce(cu.c, c_prev.c) AS c
+FROM {cprev} c_prev LEFT JOIN (
+  SELECT cell, list(s / (n * 1000000.0) ORDER BY pos) AS c
+  FROM (SELECT cell, pos, CAST(sum(val) AS DOUBLE) AS s, count(*) AS n
+        FROM (SELECT cell, unnest(qv) AS val,
+                     unnest(generate_series(1, len(qv))) AS pos FROM {assign})
+        GROUP BY 1, 2)
+  GROUP BY 1) cu ON cu.cell = c_prev.cell
+"""
+    # farthest-first (maxmin) init: i0 = lowest id; i_j = argmax of the
+    # min-distance to the chosen set (rounded 9dp, tie by id) — mirrors
+    # ann.kmeans_cells exactly on the quantized vectors
+    def _kinit_dist(j: int) -> str:
+        return (
+            "list_reduce(list_transform(generate_series(1,64), i -> "
+            f"(b.qv[i]/1000000.0 - i{j}.qv[i]/1000000.0)"
+            f"*(b.qv[i]/1000000.0 - i{j}.qv[i]/1000000.0)), (x,y) -> x+y)"
+        )
+
+    _init_ctes = ["i0 AS (SELECT vec_id, qv FROM base ORDER BY vec_id LIMIT 1)"]
+    for j in range(1, 8):
+        dists = ", ".join(_kinit_dist(m) for m in range(j))
+        mind = f"least({dists})" if j > 1 else _kinit_dist(0)
+        joins = " CROSS JOIN ".join(f"i{m}" for m in range(j))
+        _init_ctes.append(
+            f"i{j} AS (SELECT b.vec_id, b.qv FROM base b CROSS JOIN {joins}\n"
+            f"          ORDER BY round({mind}, 9) DESC, b.vec_id LIMIT 1)"
+        )
+    _c0 = " UNION ALL ".join(
+        f"SELECT {j} AS cell, list_transform(qv, q -> q/1000000.0) AS c FROM i{j}"
+        for j in range(8)
+    )
+    o["ann_ivf_build"] = f"""
+WITH base AS (SELECT vec_id,
+       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       FROM embeddings),
+{",".join(_init_ctes)},
+c0 AS ({_c0}),
+a1 AS ({_KASSIGN.format(c='c0', dist=_KDIST.format(b='b', c='c0'))}),
+c1 AS ({_KUPDATE.format(cprev='c0', assign='a1')}),
+a2 AS ({_KASSIGN.format(c='c1', dist=_KDIST.format(b='b', c='c1'))}),
+c2 AS ({_KUPDATE.format(cprev='c1', assign='a2')}),
+a3 AS ({_KASSIGN.format(c='c2', dist=_KDIST.format(b='b', c='c2'))})
+SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
 """
 
     o["dedup_exact_prefix"] = """

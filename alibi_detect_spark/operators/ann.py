@@ -186,6 +186,99 @@ def cosine_topk(
     return _topk_scan(emb, q_ids, qm, None, k, id_col, None)
 
 
+def kmeans_cells(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic k-means IVF cell builder: assigns every vector a coarse
+    cell for :func:`cosine_topk_ivf`-style pruned search.
+
+    Exactness-by-construction (the IVF analog of the repo's oracle-parity
+    recipes): vectors are QUANTIZED to integers in the Spark plan
+    (``round(x·10⁶)`` — engine-side rounding, identical in DuckDB), so Lloyd
+    centroid updates are exact integer sums divided once — both engines
+    derive bit-identical centroids, and the oracle hash-checks the full
+    assignment. Init = deterministic farthest-first traversal (maxmin,
+    the k-center 2-approximation): seed = lowest id, then repeatedly the
+    point maximizing its min-distance to the chosen set (distance rounded to
+    9dp before ranking, ties by id — cross-engine reproducible). A lowest-id
+    init would sit inside one cluster and Lloyd could not unmerge it.
+
+    Scale shape: init = n_cells−1 corpus scans emitting (id, min-dist) with a
+    global top-1 (TakeOrdered); each Lloyd iteration is one corpus scan
+    (assignment, vectorized NumPy per Arrow batch) + one tiny aggregate
+    (n_cells × dim partial sums, map-side combined); centroids travel by
+    closure. No corpus joins."""
+    qv = F.transform(
+        F.col(EMB_COL), lambda x: F.round(x.cast("double") * quant).cast("long")
+    )
+    qdf = emb.select(id_col, qv.alias("qv")).persist()
+
+    # --- farthest-first init ---
+    first = qdf.orderBy(id_col).limit(1).toPandas()
+    chosen = [np.asarray(first["qv"].iloc[0], dtype=np.float64)]
+    for _ in range(1, n_cells):
+        c_arr = np.stack(chosen) / quant
+
+        def md_fn(batches, c_arr=c_arr):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["qv"].to_numpy()).astype(np.float64) / quant
+                # direct differences, not the expansion trick: the init rank
+                # rounds at 9dp and expansion error (~1e-12) would knife-edge
+                diff = x[:, None, :] - c_arr[None, :, :]
+                d2 = np.einsum("ijk,ijk->ij", diff, diff)
+                out = pd.DataFrame({id_col: pdf[id_col].to_numpy()})
+                out["mind"] = np.round(d2.min(axis=1), 9)
+                out["qv"] = pdf["qv"].to_numpy()
+                yield out
+
+        top = (
+            qdf.mapInPandas(md_fn, schema=f"{id_col} long, mind double, qv array<long>")
+            .orderBy(F.desc("mind"), id_col)
+            .limit(1)
+            .toPandas()
+        )
+        chosen.append(np.asarray(top["qv"].iloc[0], dtype=np.float64))
+    cents = np.stack(chosen) / quant  # [k, d]
+
+    def assign_fn(cents_now):
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["qv"].to_numpy()).astype(np.float64) / quant
+                diff = x[:, None, :] - cents_now[None, :, :]
+                d2 = np.einsum("ijk,ijk->ij", diff, diff)
+                cell = np.argmin(d2, axis=1)  # ties → lowest cell (argmin)
+                out = pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cell": cell.astype(np.int32)})
+                out["qv"] = pdf["qv"].to_numpy()
+                yield out
+
+        return fn
+
+    schema = f"{id_col} long, cell int, qv array<long>"
+    for _ in range(n_iter):
+        assigned = qdf.mapInPandas(assign_fn(cents.copy()), schema=schema)
+        upd = (
+            assigned.select("cell", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .toPandas()
+        )
+        new = cents.copy()
+        for c, grp in upd.groupby("cell"):
+            g = grp.sort_values("pos")
+            new[c] = g["s"].to_numpy(dtype=np.float64) / (g["n"].to_numpy(dtype=np.float64) * quant)
+        cents = new
+    final = qdf.mapInPandas(assign_fn(cents.copy()), schema=schema)
+    return final.select(id_col, "cell")
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query_pred,

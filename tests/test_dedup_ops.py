@@ -51,3 +51,24 @@ def test_kpca_scores_partition_invariant(spark):
 
     a, b = scores(1), scores(13)
     assert np.array_equal(a.view(np.uint64), b.view(np.uint64))
+
+
+def test_kmeans_cells_deterministic_and_partitioning_invariant(spark):
+    """The quantized Lloyd iterations are exact integer math: the assignment
+    must be identical under any partitioning, and cells must actually
+    separate the data (non-degenerate)."""
+    from alibi_detect_spark.operators.ann import kmeans_cells
+
+    rng = np.random.default_rng(91)
+    centers = rng.standard_normal((4, 8)) * 4.0
+    x = np.concatenate([centers[i] + 0.3 * rng.standard_normal((100, 8)) for i in range(4)])
+    rows = [(int(i), [float(v) for v in r]) for i, r in enumerate(x)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = kmeans_cells(df, n_cells=4, n_iter=2).toPandas().sort_values("vec_id")
+    b = kmeans_cells(df.repartition(9), n_cells=4, n_iter=2).toPandas().sort_values("vec_id")
+    assert np.array_equal(a["cell"].to_numpy(), b["cell"].to_numpy())
+    # each true cluster maps to ONE dominant cell
+    for i in range(4):
+        counts = a["cell"].to_numpy()[i * 100 : (i + 1) * 100]
+        top = np.bincount(counts, minlength=4).max()
+        assert top >= 95, (i, np.bincount(counts, minlength=4))
