@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_build",
     "lang_id",
     "quality_score",
     "token_counts",
