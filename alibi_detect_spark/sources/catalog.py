@@ -73,3 +73,28 @@ class TierCatalog:
 
     def exists(self, name: str) -> bool:
         return os.path.exists(self._path(name))
+
+
+def write_bucketed_index(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> None:
+    """Materialize a relation BUCKETED by its join key — the co-located-join
+    path for the dedup inverted index (and any other repeatedly self-joined
+    relation) at warehouse scale: both sides of an equi-join on
+    ``bucket_col`` read pre-shuffled buckets, so the join plan contains NO
+    Exchange. Iceberg twin: ``CREATE TABLE ... PARTITIONED BY
+    (bucket(n, col))`` + storage-partitioned joins
+    (``spark.sql.sources.v2.bucketing.enabled``); the parquet fallback uses
+    Spark's native bucketing (requires ``saveAsTable``)."""
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .saveAsTable(table)
+    )
