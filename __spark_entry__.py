@@ -916,7 +916,7 @@ WITH base AS (SELECT list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS l
 ex AS (SELECT list_transform(lg, x -> exp(x - list_max(lg))) AS exps, s FROM base),
 pr AS (SELECT list_sort(list_transform(exps, e -> e / list_reduce(exps, (a, b) -> a + b))) AS ps, s
        FROM ex),
-lab AS (SELECT CASE WHEN ps[len(ps)] - ps[len(ps)-1] < 0.1 THEN '1' ELSE '0' END AS lm, s FROM pr),
+lab AS (SELECT CASE WHEN round(ps[len(ps)] - ps[len(ps)-1], 9) < 0.1 THEN '1' ELSE '0' END AS lm, s FROM pr),
 cells AS (SELECT lm, s, count(*) AS obs FROM lab GROUP BY 1, 2),
 tot AS (SELECT sum(obs) AS n FROM cells),
 rm AS (SELECT lm, sum(obs) AS row_n FROM cells GROUP BY 1),
@@ -1084,7 +1084,7 @@ SELECT query_id, match_id, cosine, CAST(rank AS INTEGER) AS rank FROM rk WHERE r
     _KASSIGN = """
 SELECT vec_id, qv, cell FROM (
     SELECT b.vec_id, b.qv, {c}.cell,
-           row_number() OVER (PARTITION BY b.vec_id ORDER BY {dist}, {c}.cell) AS rn
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY round({dist}, 9), {c}.cell) AS rn
     FROM base b CROSS JOIN {c}) WHERE rn = 1
 """
     _KUPDATE = """

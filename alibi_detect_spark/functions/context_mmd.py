@@ -142,6 +142,11 @@ def context_mmd_2samp(
     # hold out a portion of test contexts for conditioning (:143-147)
     n = len(c)
     n_held = int(n * prop_c_held)
+    if n_held < 1 or n - n_held < 2 or len(x_ref) < n_folds * 2:
+        raise ValueError(
+            f"context_mmd_2samp needs enough data to hold out contexts and run "
+            f"{n_folds}-fold CV (got n_test={n}, n_ref={len(x_ref)})"
+        )
     inds_held = rng.choice(n, n_held, replace=False)
     inds_test = np.setdiff1d(np.arange(n), inds_held)
     c_held = c[inds_held]

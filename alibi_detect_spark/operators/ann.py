@@ -253,7 +253,9 @@ def kmeans_cells(
                     continue
                 x = np.stack(pdf["qv"].to_numpy()).astype(np.float64) / quant
                 diff = x[:, None, :] - cents_now[None, :, :]
-                d2 = np.einsum("ijk,ijk->ij", diff, diff)
+                # round-before-rank (repo parity recipe): the oracle folds the
+                # 64 dims sequentially, numpy pairwise — rank on 9dp values
+                d2 = np.round(np.einsum("ijk,ijk->ij", diff, diff), 9)
                 cell = np.argmin(d2, axis=1)  # ties → lowest cell (argmin)
                 out = pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cell": cell.astype(np.int32)})
                 out["qv"] = pdf["qv"].to_numpy()

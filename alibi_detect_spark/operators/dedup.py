@@ -87,6 +87,8 @@ def exploded_shingles(docs: DataFrame, text: str = "text", n: int = 3) -> DataFr
         for pdf in batches:
             ids_out, h60s, h32s = [], [], []
             for doc_id, txt in zip(pdf["doc_id"].to_numpy(), pdf[text]):
+                if txt is None:  # NULL text → no shingles (matches the SQL twin)
+                    continue
                 ws = txt.split(" ")
                 if len(ws) < n:
                     continue
@@ -185,13 +187,16 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, text: str = "text", n: int = 3, k: int = MINHASH_K
+    docs: DataFrame | None, text: str = "text", n: int = 3, k: int = MINHASH_K,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as k integer columns ``sig0..sig{k-1}``:
     sig_j = min over shingles of ``(a_j·h32 + b_j) mod P``. One hash-aggregate
     over the exploded shingle relation — partial min map-side, so the shuffle
-    carries one row per (doc, partition)."""
-    sh = exploded_shingles(docs, text, n)
+    carries one row per (doc, partition). ``index`` lets callers pass a
+    pre-materialized :func:`exploded_shingles` relation (the single source of
+    the signature spec — minhash_lsh_pairs reuses it)."""
+    sh = index if index is not None else exploded_shingles(docs, text, n)
     aggs = [F.count(F.lit(1)).alias("n_sh")] + [
         F.min((F.col("h32") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig{j}")
         for j, (a, b) in enumerate(MINHASH_AB[:k])
@@ -220,11 +225,7 @@ def minhash_lsh_pairs(
     # one materialized pass over the text for the index; signatures, banding,
     # and candidate verification all reuse it (cf. ngram_jaccard_pairs note)
     shidx = exploded_shingles(docs, text, n).persist()
-    aggs = [F.count(F.lit(1)).alias("n_sh")] + [
-        F.min((F.col("h32") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig{j}")
-        for j, (a, b) in enumerate(MINHASH_AB[:k])
-    ]
-    sigs = shidx.groupBy("doc_id").agg(*aggs)
+    sigs = minhash_signatures(None, text, n, k, index=shidx).persist()
     band_arr = F.array(
         *[
             F.struct(
@@ -245,9 +246,10 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify: count common shingles of candidate pairs via the inverted index
+    # verify: count common shingles of candidate pairs via the inverted index;
+    # sizes come straight from the signatures (n_sh already aggregated there)
     sh = shidx.select("doc_id", "h60")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sigs.select("doc_id", "n_sh")
     common = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h60"), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("h60").alias("h60_b")), "doc_b")

@@ -327,7 +327,9 @@ def uncertainty_drift(
     probs = F.transform(exps, lambda e: e / denom)
     if uncertainty_type == "margin":
         srt = F.array_sort(probs)
-        margin = F.element_at(srt, -1) - F.element_at(srt, -2)
+        # margin rounded to 9dp before the width comparison — same tie-group
+        # stabilization as the entropy path (cross-engine exp() ulp)
+        margin = F.round(F.element_at(srt, -1) - F.element_at(srt, -2), 9)
         low = (margin < margin_width).cast("int").cast("string")
         feat = df.select(low.alias("low_margin"), sample)
         return chi2_contingency(feat, "low_margin", sample)

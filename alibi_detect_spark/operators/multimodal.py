@@ -133,12 +133,23 @@ def extract_features(media: DataFrame) -> DataFrame:
                 for r in range(n)
             ]
             lengths = np.array([f.size for f in flats], dtype=np.int64)
+            # zero-length decodes (e.g. a real codec returning a 0-frame
+            # clip) would break reduceat (repeated/ OOB offsets return the
+            # NEXT row's head); give them a 1-element NaN placeholder and
+            # blank the stats afterwards
+            empty = lengths == 0
+            if empty.any():
+                flats = [f if f.size else np.array([np.nan]) for f in flats]
+                lengths = np.maximum(lengths, 1)
             flat = np.concatenate(flats)
             offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
             sums = np.add.reduceat(flat, offsets)
             means = sums / lengths
             sumsq = np.add.reduceat(flat * flat, offsets)
             stds = np.sqrt(np.maximum(sumsq / lengths - means * means, 0.0))
+            if empty.any():
+                means[empty] = np.nan
+                stds[empty] = np.nan
             # deterministic hash-projection embedding: FEATURE_DIM strided
             # sums per row = one segment-keyed bincount (uint8 inputs → the
             # sums are exact integers, so this is bit-identical to the old
@@ -147,7 +158,7 @@ def extract_features(media: DataFrame) -> DataFrame:
             pos = np.arange(flat.size, dtype=np.int64) - np.repeat(offsets, lengths)
             feats = np.bincount(
                 rid * FEATURE_DIM + pos % FEATURE_DIM,
-                weights=flat,
+                weights=np.nan_to_num(flat, nan=0.0),
                 minlength=n * FEATURE_DIM,
             ).reshape(n, FEATURE_DIM) % 997.0
             yield pd.DataFrame(

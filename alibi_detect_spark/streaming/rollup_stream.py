@@ -137,7 +137,13 @@ def mmd_stream(
             st = OnlineMMDState(t=int(t), test_window=np.asarray(flat, dtype=np.float64).reshape(det.window_size, -1))
         else:
             st, last_ts = det.initial_state(), -1
-        for pdf in pdf_iter:
+        # gather ALL Arrow chunks of this group's micro-batch before sorting:
+        # chunk arrival order is nondeterministic (shuffle fetch), and a
+        # per-chunk last_ts filter would silently drop earlier-timestamped
+        # rows from later chunks, corrupting the carried state
+        chunks = [p for p in pdf_iter if len(p)]
+        whole = pd.concat(chunks) if chunks else None
+        for pdf in ([whole] if whole is not None else []):
             pdf = pdf.sort_values("bucket_ts", kind="mergesort")
             pdf = pdf[pdf["bucket_ts"] > last_ts]
             if not len(pdf):
@@ -195,7 +201,13 @@ def ewma_stream(
             carry, last_ts = state.get
         else:
             carry, last_ts = None, -1
-        for pdf in pdf_iter:
+        # gather ALL Arrow chunks of this group's micro-batch before sorting:
+        # chunk arrival order is nondeterministic (shuffle fetch), and a
+        # per-chunk last_ts filter would silently drop earlier-timestamped
+        # rows from later chunks, corrupting the carried state
+        chunks = [p for p in pdf_iter if len(p)]
+        whole = pd.concat(chunks) if chunks else None
+        for pdf in ([whole] if whole is not None else []):
             pdf = pdf.sort_values("bucket_ts", kind="mergesort")
             pdf = pdf[pdf["bucket_ts"] > last_ts]
             if not len(pdf):
@@ -259,7 +271,13 @@ def cvm_stream(rollup: DataFrame, detectors: dict, value_col: str = "sum_n_tok")
             warm = np.asarray(tail, dtype=np.float64)
         else:
             t0, warm, last_ts = 0, None, -1
-        for pdf in pdf_iter:
+        # gather ALL Arrow chunks of this group's micro-batch before sorting:
+        # chunk arrival order is nondeterministic (shuffle fetch), and a
+        # per-chunk last_ts filter would silently drop earlier-timestamped
+        # rows from later chunks, corrupting the carried state
+        chunks = [p for p in pdf_iter if len(p)]
+        whole = pd.concat(chunks) if chunks else None
+        for pdf in ([whole] if whole is not None else []):
             pdf = pdf.sort_values("bucket_ts", kind="mergesort")
             pdf = pdf[pdf["bucket_ts"] > last_ts]
             if not len(pdf):
@@ -324,7 +342,13 @@ def fet_stream(rollup: DataFrame, detectors: dict, bit_col: str = "bit") -> Data
             warm = np.asarray(tail, dtype=np.int64)
         else:
             t0, carry, warm, last_ts = 0, None, None, -1
-        for pdf in pdf_iter:
+        # gather ALL Arrow chunks of this group's micro-batch before sorting:
+        # chunk arrival order is nondeterministic (shuffle fetch), and a
+        # per-chunk last_ts filter would silently drop earlier-timestamped
+        # rows from later chunks, corrupting the carried state
+        chunks = [p for p in pdf_iter if len(p)]
+        whole = pd.concat(chunks) if chunks else None
+        for pdf in ([whole] if whole is not None else []):
             pdf = pdf.sort_values("bucket_ts", kind="mergesort")
             pdf = pdf[pdf["bucket_ts"] > last_ts]
             if not len(pdf):
