@@ -89,15 +89,21 @@ def _cvm_stats_block(
             continue
         e = ends[have]
         starts = e - w + 1  # >= 0 because warm carries max_ws-1 points
+        # Layout note: both terms reduce along the CONTIGUOUS last axis of a
+        # [ends × ...] row-major array, so each window end's sum uses the
+        # same accumulation order regardless of how many ends share the
+        # batch — the bit-level blocking/chunking invariance the resume and
+        # streaming paths assert. (A column-wise reduction over [n × ends]
+        # changes numpy's accumulation pattern with the batch width.)
         # term over reference points: sum_i (F_ref(ref_i) - F_win(ref_i))^2
-        win_at_ref = (cs_c[:, e + 1] - cs_c[:, starts]) / w  # [n, |e|]
-        d1 = a_ref[:, None] - win_at_ref
-        term_ref = np.einsum("ij,ij->j", d1, d1)
+        win_at_ref = (cs_c[:, e + 1] - cs_c[:, starts]).T / w  # [|e|, n]
+        d1 = np.ascontiguousarray(a_ref[None, :] - win_at_ref)
+        term_ref = np.einsum("ij,ij->i", d1, d1)
         # term over window points: sum_{p in win} (F_ref(p) - F_win(p))^2
-        p_idx = starts[None, :] + np.arange(w)[:, None]  # [w, |e|]
-        win_at_win = (cs_b[p_idx, e[None, :] + 1] - cs_b[p_idx, starts[None, :]]) / w
-        d2 = a_seq[p_idx] - win_at_win
-        term_win = np.einsum("ij,ij->j", d2, d2)
+        p_idx = starts[:, None] + np.arange(w)[None, :]  # [|e|, w]
+        win_at_win = (cs_b[p_idx, e[:, None] + 1] - cs_b[p_idx, starts[:, None]]) / w
+        d2 = np.ascontiguousarray(a_seq[p_idx] - win_at_win)
+        term_win = np.einsum("ij,ij->i", d2, d2)
         scale, mean, std = _anderson_norm(n, w)
         out[have, k] = ((term_ref + term_win) * scale - mean) / std
     return out
