@@ -412,6 +412,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda s, sf: dedup.minhash_lsh_pairs(
         _t(s, sf, "documents"), n=3, threshold=0.05
     )
+    # near-dup pairs → connected components → canonical survivor per cluster
+    q["dedup_clusters"] = lambda s, sf: dedup.dedup_clusters(
+        dedup.minhash_lsh_pairs(_t(s, sf, "documents"), n=3, threshold=0.05)
+    )
     q["simhash"] = lambda s, sf: dedup.simhash32(_t(s, sf, "documents"))
     q["dedup_simhash_pairs"] = lambda s, sf: dedup.simhash_near_pairs(
         _t(s, sf, "documents"), max_hamming=3
@@ -1184,6 +1188,25 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
 SELECT doc_a, doc_b, round(com / (sa.n_sh + sb.n_sh - com), 6) AS jaccard
 FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(com / (sa.n_sh + sb.n_sh - com), 6) >= 0.05
+"""
+
+    _CC_ROUND = """
+SELECT l.doc_id AS doc_id,
+       least(l.cluster_id, coalesce(m.nm, l.cluster_id)) AS cluster_id
+FROM {prev} l LEFT JOIN (
+  SELECT e.src AS src, min(x.cluster_id) AS nm
+  FROM edges e JOIN {prev} x ON x.doc_id = e.dst GROUP BY 1) m
+ON m.src = l.doc_id
+"""
+    o["dedup_clusters"] = f"""
+WITH pairs AS ({o['dedup_minhash_lsh']}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster_id FROM edges),
+l1 AS ({_CC_ROUND.format(prev='l0')}),
+l2 AS ({_CC_ROUND.format(prev='l1')}),
+l3 AS ({_CC_ROUND.format(prev='l2')})
+SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INTEGER) AS is_survivor FROM l3
 """
 
     o["simhash"] = _SIMHASH

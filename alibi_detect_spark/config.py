@@ -78,6 +78,7 @@ REGISTRY: dict[str, Callable] = {
     "exact_dup_groups": dedup.exact_dup_groups,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    "dedup_clusters": dedup.dedup_clusters,
     "simhash_near_pairs": dedup.simhash_near_pairs,
     "lang_id": textstats.lang_id,
     "quality_score": textstats.quality_score,

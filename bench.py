@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "dedup_exact_prefix",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "ann_cosine_topk",

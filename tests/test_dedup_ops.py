@@ -72,3 +72,20 @@ def test_kmeans_cells_deterministic_and_partitioning_invariant(spark):
         counts = a["cell"].to_numpy()[i * 100 : (i + 1) * 100]
         top = np.bincount(counts, minlength=4).max()
         assert top >= 95, (i, np.bincount(counts, minlength=4))
+
+
+def test_dedup_clusters_components_and_survivors(spark):
+    """Min-label propagation finds the connected components of the pair
+    graph; survivor = smallest id per component (incl. a diameter-3 chain
+    within the default 3 rounds)."""
+    from alibi_detect_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21), (30, 31), (31, 32), (30, 32)],
+        "doc_a long, doc_b long",
+    )
+    got = dedup_clusters(pairs).toPandas().sort_values("doc_id")
+    by = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert by == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+    surv = set(got[got["is_survivor"] == 1]["doc_id"])
+    assert surv == {1, 20, 30}
