@@ -281,6 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_ensemble"] = lambda s, sf: ann.knn_ensemble_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, ks=(3, 5, 7)
     )
+    q["pca_outlier_2d"] = lambda s, sf: outlier.pca_outlier_2feat(
+        _t(s, sf, "lineitem"), ("l_quantity", "l_discount"), ["l_orderkey", "l_linenumber"], 100
+    )
     q["pca_outlier"] = lambda s, sf: outlier.pca_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=4
     )
@@ -1006,6 +1009,32 @@ sc AS (SELECT l_orderkey, l_linenumber,
        FROM lineitem CROSS JOIN mo)
 SELECT l_orderkey, l_linenumber, maha_score, CAST(rk AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (ORDER BY maha_score DESC, l_orderkey, l_linenumber) AS rk FROM sc)
+WHERE rk <= 100
+"""
+
+    o["pca_outlier_2d"] = """
+WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))*CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx_r,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,4))*CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy_r,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))*CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy_r
+            FROM lineitem),
+mo AS (SELECT sx/n AS mx, sy/n AS my,
+              sxx_r/n - (sx/n)*(sx/n) AS a,
+              syy_r/n - (sy/n)*(sy/n) AS b,
+              sxy_r/n - (sx/n)*(sy/n) AS c
+       FROM st),
+mo2 AS (SELECT mx, my, a, c,
+               (a + b - sqrt((a-b)*(a-b) + 4.0*c*c)) / 2.0 AS lam
+        FROM mo),
+sc AS (SELECT l_orderkey, l_linenumber,
+              round(((CAST(l_quantity AS DOUBLE) - mx)*c + (CAST(l_discount AS DOUBLE) - my)*(lam - a))
+                    * ((CAST(l_quantity AS DOUBLE) - mx)*c + (CAST(l_discount AS DOUBLE) - my)*(lam - a))
+                    / (c*c + (lam - a)*(lam - a)), 6) AS pca2_score
+       FROM lineitem CROSS JOIN mo2)
+SELECT l_orderkey, l_linenumber, pca2_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY pca2_score DESC, l_orderkey, l_linenumber) AS rk FROM sc)
 WHERE rk <= 100
 """
 

@@ -144,6 +144,56 @@ def lof_outlier_scores(
     return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, lof_score double")
 
 
+def pca_outlier_2feat(
+    df, cols: tuple[str, str], id_cols: list[str], top_k: int = 100
+):
+    """Linear-PCA outlier score over TWO features with a CLOSED-FORM
+    eigendecomposition — the oracle-checkable instance of
+    ``alibi_detect/od/_pca.py`` semantics (fit = covariance eigenbasis, drop
+    the top component, score = squared projection onto the remaining
+    invariant direction). For a 2×2 covariance [[a,c],[c,b]] the minor
+    eigenvalue is ``λ− = ((a+b) − sqrt((a−b)² + 4c²))/2`` and its direction
+    ``(c, λ−−a)``, so the whole detector is whole-stage-codegen column math:
+    one partial+final DECIMAL moment aggregate (exact under any order), one
+    broadcast join, no UDF. The d-dimensional eigendecomposition variant is
+    :func:`pca_outlier_scores`."""
+    from pyspark.sql import Window, functions as F
+
+    x, y = cols
+    dx_in = F.col(x).cast("decimal(18,4)")
+    dy_in = F.col(y).cast("decimal(18,4)")
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx_in).cast("double").alias("sx"),
+        F.sum(dy_in).cast("double").alias("sy"),
+        F.sum(dx_in * dx_in).cast("double").alias("sxx_r"),
+        F.sum(dy_in * dy_in).cast("double").alias("syy_r"),
+        F.sum(dx_in * dy_in).cast("double").alias("sxy_r"),
+    ).select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sxx_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("a"),
+        (F.col("syy_r") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("b"),
+        (F.col("sxy_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("c"),
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    lam = (F.col("a") + F.col("b") - F.sqrt(
+        (F.col("a") - F.col("b")) * (F.col("a") - F.col("b")) + F.lit(4.0) * F.col("c") * F.col("c")
+    )) / F.lit(2.0)
+    v1, v2 = F.col("c"), lam - F.col("a")
+    dx = F.col(x).cast("double") - F.col("mx")
+    dy = F.col(y).cast("double") - F.col("my")
+    proj = dx * v1 + dy * v2
+    score = (proj * proj) / (v1 * v1 + v2 * v2)
+    scored = j.select(*id_cols, F.round(score, 6).alias("pca2_score"))
+    w = Window.orderBy(F.col("pca2_score").desc(), *[F.col(c) for c in id_cols])
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(*id_cols, "pca2_score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def iforest_outlier_scores(
     emb: DataFrame,
     ref_pred,

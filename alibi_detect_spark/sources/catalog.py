@@ -98,3 +98,36 @@ def write_bucketed_index(
         .option("path", path)
         .saveAsTable(table)
     )
+
+
+def compact_tier(
+    spark: SparkSession, path: str, sort_cols: tuple[str, ...] = ("source", "bucket_ts"),
+    target_files: int = 1,
+) -> tuple[int, int]:
+    """Small-file compaction for a tier table directory: rewrite the
+    partition's data as ``target_files`` sorted files. Iceberg twin:
+    ``CALL system.rewrite_data_files(table => ..., strategy => 'sort')`` —
+    this parquet fallback does the same rewrite via a staging directory and
+    an atomic swap. Returns (files_before, files_after).
+
+    Streaming rollups and incremental appends accumulate one file per
+    micro-batch/task; scan efficiency at 10^12 rows depends on periodically
+    rewriting them into few large sorted files (row-group pruning on
+    (source, bucket_ts) then works)."""
+    import glob
+
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path)
+    staged = path.rstrip("/") + "__compacting"
+    (
+        df.repartition(target_files)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    swap = path.rstrip("/") + "__old"
+    os.rename(path, swap)
+    os.rename(staged, path)
+    shutil.rmtree(swap)
+    after = len(glob.glob(os.path.join(path, "*.parquet")))
+    return before, after

@@ -47,3 +47,25 @@ def test_bucketed_index_self_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS shingle_idx")
+
+
+def test_compact_tier_rewrites_small_files(spark, tmp_path):
+    """Compaction collapses per-batch small files into one sorted file with
+    identical data — the parquet twin of Iceberg rewrite_data_files."""
+    import numpy as np
+
+    from alibi_detect_spark.sources.catalog import compact_tier
+
+    path = str(tmp_path / "tier")
+    rng = np.random.default_rng(5)
+    rows = [("s%d" % (i % 3), int(1704067200 + i * 3600), float(rng.integers(1, 50))) for i in range(300)]
+    df = spark.createDataFrame(rows, "source string, bucket_ts long, v double")
+    # simulate many tiny per-batch appends
+    for lo in range(0, 300, 50):
+        sub = spark.createDataFrame(rows[lo : lo + 50], "source string, bucket_ts long, v double")
+        sub.repartition(4).write.mode("append").parquet(path)
+    before_pdf = spark.read.parquet(path).toPandas().sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    nb, na = compact_tier(spark, path, target_files=1)
+    assert nb > 5 and na == 1, (nb, na)
+    after_pdf = spark.read.parquet(path).toPandas().sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    assert before_pdf.equals(after_pdf)
