@@ -382,3 +382,77 @@ def fet_stream(rollup: DataFrame, detectors: dict, bit_col: str = "bit") -> Data
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+LSDD_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("bucket_ts", LongType()),
+        StructField("lsdd_stat", DoubleType()),
+        StructField("lsdd_threshold", DoubleType()),
+        StructField("lsdd_is_drift", LongType()),
+    ]
+)
+LSDD_STATE_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("window_flat", ArrayType(DoubleType())),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+
+def lsdd_stream(
+    rollup: DataFrame, detectors: dict, value_cols: list[str] | None = None
+) -> DataFrame:
+    """Streaming online-LSDD drift (``cd/pytorch/lsdd_online.py`` lifecycle):
+    detectors fitted batch-side (kernel centers, λ-regularized H inverse,
+    bootstrap thresholds), FIFO normalized test window carried in the state
+    store — trajectories bit-match the batch replay across micro-batches."""
+    import numpy as np
+
+    from ..functions.lsdd import OnlineLSDDState
+
+    cols = value_cols or ["sum_n_tok"]
+
+    def fn(key, pdf_iter, state):
+        (source,) = key
+        det = detectors.get(source)
+        if det is None:
+            return
+        if state.exists:
+            t, flat, last_ts = state.get
+            st = OnlineLSDDState(
+                t=int(t),
+                test_window=np.asarray(flat, dtype=np.float64).reshape(det.window_size, -1),
+            )
+        else:
+            st, last_ts = det.initial_state(), -1
+        chunks = [p for p in pdf_iter if len(p)]
+        whole = pd.concat(chunks) if chunks else None
+        for pdf in ([whole] if whole is not None else []):
+            pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+            pdf = pdf[pdf["bucket_ts"] > last_ts]
+            if not len(pdf):
+                continue
+            x = pdf[cols].to_numpy(dtype=np.float64)
+            stats, thr, drift, st = det.score_stream(x, st)
+            last_ts = int(pdf["bucket_ts"].iloc[-1])
+            yield pd.DataFrame(
+                {
+                    "source": source,
+                    "bucket_ts": pdf["bucket_ts"].to_numpy(dtype=np.int64),
+                    "lsdd_stat": stats,
+                    "lsdd_threshold": thr,
+                    "lsdd_is_drift": drift.astype(np.int64),
+                }
+            )
+        state.update((st.t, [float(v) for v in st.test_window.ravel()], last_ts))
+
+    return rollup.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=LSDD_OUT_SCHEMA,
+        stateStructType=LSDD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

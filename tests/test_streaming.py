@@ -296,3 +296,61 @@ def test_fet_stream_bitmatches_batch(spark, tmp_path, cfg):
             np.nan_to_num(stats, nan=-1.0).view(np.uint64),
         ), source
         assert np.array_equal(g["fet_is_drift"].to_numpy(np.int64), drift.astype(np.int64)), source
+
+
+def test_lsdd_stream_bitmatches_batch(spark, tmp_path, cfg):
+    """Streaming online-LSDD (normalized FIFO window in the state store)
+    reproduces the batch replay bit-for-bit across micro-batches."""
+    tmp = str(tmp_path)
+    from alibi_detect_spark.functions.lsdd import OnlineLSDD
+    from alibi_detect_spark.operators.detect import source_seed
+    from alibi_detect_spark.streaming.rollup_stream import lsdd_stream
+
+    raw = spark.createDataFrame(
+        synth_batch(np.arange(0, 40_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    rollup = rollup_tier1(raw, "1h").toPandas().sort_values(["source", "bucket_ts"])
+    rollup["v2"] = rollup["n_docs"].astype(np.float64)
+    n_ref, W = 60, 6
+
+    dets, batch_out = {}, {}
+    for source, grp in rollup.groupby("source"):
+        x = grp[["sum_n_tok", "v2"]].to_numpy(np.float64)
+        det = OnlineLSDD.fit(x[:n_ref], ert=40.0, window_size=W, n_bootstraps=100,
+                             seed=source_seed(source, 11))
+        dets[source] = det
+        stats, thr, drift, _ = det.score_stream(x[n_ref:])
+        batch_out[source] = (grp["bucket_ts"].to_numpy()[n_ref:], stats, drift)
+
+    post = rollup.groupby("source", group_keys=False).apply(lambda g: g.iloc[n_ref:])
+    cut = post["bucket_ts"].median()
+    os.makedirs(f"{tmp}/lin", exist_ok=True)
+    post[post["bucket_ts"] <= cut].to_parquet(f"{tmp}/lin/p0.parquet", index=False)
+    post[post["bucket_ts"] > cut].to_parquet(f"{tmp}/lin/p1.parquet", index=False)
+    src = (
+        spark.readStream.schema(
+            "source string, bucket_ts long, n_docs long, sum_n_tok long,"
+            " min_n_tok int, max_n_tok int, mean_n_tok double, gapfilled boolean, v2 double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/lin")
+    )
+    q = (
+        lsdd_stream(src, dets, value_cols=["sum_n_tok", "v2"])
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/lout")
+        .option("checkpointLocation", f"{tmp}/lckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{tmp}/lout").toPandas().sort_values(["source", "bucket_ts"])
+
+    for source, (ts, stats, drift) in batch_out.items():
+        g = got[got["source"] == source].sort_values("bucket_ts")
+        assert np.array_equal(g["bucket_ts"].to_numpy(), ts), source
+        assert np.array_equal(
+            g["lsdd_stat"].to_numpy(np.float64).view(np.uint64), stats.view(np.uint64)
+        ), source
+        assert np.array_equal(g["lsdd_is_drift"].to_numpy(np.int64), drift.astype(np.int64)), source
