@@ -278,6 +278,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_outlier"] = lambda s, sf: ann.knn_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, k=5
     )
+    # the reference's infer_threshold/predict contract over a score relation
+    q["knn_outlier_predict"] = lambda s, sf: outlier.infer_threshold(
+        ann.knn_outlier_scores(_t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, k=5),
+        "knn_dist",
+        threshold_perc=95.0,
+    )
     q["knn_ensemble"] = lambda s, sf: ann.knn_ensemble_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, ks=(3, 5, 7)
     )
@@ -1048,6 +1054,21 @@ pairs AS (SELECT t.vec_id, r.ref_id, round(sqrt({_SQ}), 6) AS dist
 rk AS (SELECT vec_id, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ref_id) AS rn
        FROM pairs)
 SELECT vec_id, dist AS knn_dist FROM rk WHERE rn = 5
+"""
+
+    o["knn_outlier_predict"] = f"""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+ref AS (SELECT vec_id AS ref_id, v AS rv FROM base WHERE vec_id % 5 = 0),
+test AS (SELECT vec_id, v AS tv FROM base),
+pairs AS (SELECT t.vec_id, r.ref_id, round(sqrt({_SQ}), 6) AS dist
+          FROM test t JOIN ref r ON t.vec_id <> r.ref_id),
+rk AS (SELECT vec_id, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ref_id) AS rn
+       FROM pairs),
+sc AS (SELECT vec_id, dist AS knn_dist FROM rk WHERE rn = 5),
+thr AS (SELECT round(quantile_cont(knn_dist, 0.95), 6) AS threshold FROM sc)
+SELECT vec_id, knn_dist, threshold,
+       CAST(knn_dist > threshold AS INTEGER) AS is_outlier
+FROM sc CROSS JOIN thr
 """
 
     o["knn_ensemble"] = f"""

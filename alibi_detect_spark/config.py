@@ -60,6 +60,7 @@ REGISTRY: dict[str, Callable] = {
     "classifier_drift_lr": classifier.classifier_drift_lr,
     "drift_corrections": drift.drift_corrections,
     "reservoir_sample": sample.reservoir_sample,
+    "infer_threshold": outlier.infer_threshold,
     "kmeans_cells": ann.kmeans_cells,
     "embedding_near_pairs": dedup.embedding_near_pairs,
     "mmd_perm_test": drift.mmd_perm_test,

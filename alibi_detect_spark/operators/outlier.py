@@ -144,6 +144,23 @@ def lof_outlier_scores(
     return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, lof_score double")
 
 
+def infer_threshold(scores, score_col: str, threshold_perc: float = 95.0):
+    """The reference's ``infer_threshold``/``predict`` contract
+    (``alibi_detect/base.py`` ThresholdMixin; e.g. ``od/_knn.py:110``,
+    ``od/isolationforest.py:100``) as a generic relational wrapper over ANY
+    score relation: threshold = exact percentile of the scores, ``is_outlier
+    = score > threshold``. One tiny aggregate broadcast back onto the score
+    stream — works unchanged on 10^12 scored rows."""
+    from pyspark.sql import functions as F
+
+    thr = scores.agg(
+        F.round(F.expr(f"percentile({score_col}, {threshold_perc / 100.0})"), 6).alias("threshold")
+    )
+    return scores.crossJoin(F.broadcast(thr)).withColumn(
+        "is_outlier", (F.col(score_col) > F.col("threshold")).cast("int")
+    )
+
+
 def pca_outlier_2feat(
     df, cols: tuple[str, str], id_cols: list[str], top_k: int = 100
 ):
