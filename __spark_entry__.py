@@ -213,6 +213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsdd_perm_test"] = lambda s, sf: drift.lsdd_perm_test(
         _events_labeled(s, sf), "value", n_per_side=256, order_col="event_id"
     )
+    # closed-form LSDD instance (fixed centers/σ/λ, md5 permutations) — the
+    # hash-checkable twin of lsdd_perm_test, same recipe as mmd_perm_test
+    q["lsdd_perm_hash"] = lambda s, sf: drift.lsdd_perm_test_hash(
+        _events_labeled(s, sf), "value", n_per_side=256, sigma=5.0, lam=0.25,
+        order_col="event_id",
+    )
     q["uncertainty_drift"] = lambda s, sf: drift.uncertainty_drift(
         _t(s, sf, "embeddings").withColumn(
             "sample",
@@ -415,8 +421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact_prefix"] = lambda s, sf: dedup.exact_dup_groups(
         _t(s, sf, "documents"), prefix_words=8
     )
+    # max_df is explicit (engine default is None = exact): the oracle's hot
+    # CTE mirrors the same cap, so both engines drop the same hot shingles
     q["dedup_ngram_jaccard"] = lambda s, sf: dedup.ngram_jaccard_pairs(
-        _t(s, sf, "documents"), n=3, threshold=0.05
+        _t(s, sf, "documents"), n=3, threshold=0.05, max_df=100
     )
     q["dedup_minhash_lsh"] = lambda s, sf: dedup.minhash_lsh_pairs(
         _t(s, sf, "documents"), n=3, threshold=0.05
@@ -793,6 +801,51 @@ SELECT CAST(256 AS BIGINT) AS n_ref, CAST(256 AS BIGINT) AS n_test,
        round(obs.stat, 6) + 0.0 AS mmd2,
        round(sum(CASE WHEN obs.stat <= ps.stat THEN 1 ELSE 0 END)/100.0, 6) AS p_value
 FROM ps CROSS JOIN obs GROUP BY obs.stat
+"""
+
+    # closed-form LSDD (2 fixed centers c1/c2 = first two ref rows, σ=5 so
+    # 2σ²=50 and (√2σ)²·2=100, λ=0.25 so a=1.25) — the scalar expression tree
+    # mirrors drift.lsdd_perm_test_hash term-for-term
+    o["lsdd_perm_hash"] = """
+WITH lab AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+                    value AS v, event_id AS o FROM events),
+sub AS (SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY o) AS rn FROM lab
+        QUALIFY rn <= 256),
+cents AS (SELECT max(CASE WHEN s = 'ref' AND rn = 1 THEN CAST(v AS DOUBLE) END) AS c1,
+                 max(CASE WHEN s = 'ref' AND rn = 2 THEN CAST(v AS DOUBLE) END) AS c2
+          FROM sub),
+hm AS (SELECT c1, c2, exp(-((c1-c2)*(c1-c2))/100.0) AS e FROM cents),
+hb AS (SELECT c1, c2, e, 1.25/(1.25*1.25 - e*e) AS b11, -e/(1.25*1.25 - e*e) AS b12 FROM hm),
+hbh AS (SELECT c1, c2, b11, b12, b11 + b12*e AS bh11, b11*e + b12 AS bh12 FROM hb),
+hinv AS (SELECT c1, c2,
+                2*b11 - (bh11*b11 + bh12*b12) AS m11,
+                2*b12 - (bh11*b12 + bh12*b11) AS m12 FROM hbh),
+pool AS (SELECT CAST(v AS DOUBLE) AS v,
+                CASE WHEN s = 'ref' THEN rn ELSE 256 + rn END AS gid FROM sub),
+feat AS (SELECT gid, exp(-((v-c1)*(v-c1))/50.0) AS k1, exp(-((v-c2)*(v-c2))/50.0) AS k2
+         FROM pool CROSS JOIN hinv),
+obs AS (SELECT sum(CASE WHEN gid <= 256 THEN k1 ELSE 0 END)/256.0
+             - sum(CASE WHEN gid > 256 THEN k1 ELSE 0 END)/256.0 AS h1,
+               sum(CASE WHEN gid <= 256 THEN k2 ELSE 0 END)/256.0
+             - sum(CASE WHEN gid > 256 THEN k2 ELSE 0 END)/256.0 AS h2
+        FROM feat),
+ostat AS (SELECT m11*(h1*h1 + h2*h2) + 2*m12*h1*h2 AS stat FROM obs CROSS JOIN hinv),
+assign AS (SELECT p, gid,
+           CASE WHEN row_number() OVER (PARTITION BY p
+                ORDER BY md5(CAST(p AS VARCHAR) || ':' || CAST(gid AS VARCHAR))) <= 256
+                THEN 1 ELSE 0 END AS is_x
+           FROM (SELECT unnest(generate_series(1, 100)) AS p) CROSS JOIN pool),
+ph AS (SELECT a.p AS p,
+         sum(CASE WHEN a.is_x = 1 THEN f.k1 ELSE 0 END)/256.0
+       - sum(CASE WHEN a.is_x = 0 THEN f.k1 ELSE 0 END)/256.0 AS h1,
+         sum(CASE WHEN a.is_x = 1 THEN f.k2 ELSE 0 END)/256.0
+       - sum(CASE WHEN a.is_x = 0 THEN f.k2 ELSE 0 END)/256.0 AS h2
+       FROM assign a JOIN feat f ON f.gid = a.gid GROUP BY 1),
+ps AS (SELECT p, m11*(h1*h1 + h2*h2) + 2*m12*h1*h2 AS stat FROM ph CROSS JOIN hinv)
+SELECT CAST(256 AS BIGINT) AS n_ref, CAST(256 AS BIGINT) AS n_test,
+       round(ostat.stat, 6) + 0.0 AS lsdd_stat,
+       round(sum(CASE WHEN ostat.stat <= ps.stat THEN 1 ELSE 0 END)/100.0, 6) AS p_value
+FROM ps CROSS JOIN ostat GROUP BY ostat.stat
 """
 
     def _ks_feature(col_expr: str, name: str) -> str:

@@ -130,19 +130,26 @@ def exact_dup_groups(
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text: str = "text", n: int = 3, threshold: float = 0.05,
-    max_df: int | None = 100,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
     explode distinct shingles → self-join on the 60-bit shingle key →
     |A∩B| by count → J = common / (|A| + |B| − common).
 
-    ``max_df`` is the hot-shingle guard: shingles appearing in more than
-    ``max_df`` documents (boilerplate) are dropped from the shingle universe
-    BEFORE the self-join — a shingle shared by 10⁶ docs would otherwise emit
-    10¹² candidate rows. The hot set is tiny by construction (df > cap), so
-    it ships as a broadcast anti-join: no extra shuffle. Jaccard is then
-    exact over the capped universe (sizes counted after the cap, both here
-    and in the SQL oracle). ``max_df=None`` disables the guard.
+    ``max_df`` is an OPT-IN hot-shingle guard (default None = exact over the
+    full shingle universe): shingles appearing in more than ``max_df``
+    documents (boilerplate) are dropped from the shingle universe BEFORE the
+    self-join — a shingle shared by 10⁶ docs would otherwise emit 10¹²
+    candidate rows. The hot set is tiny by construction (df > cap), so it
+    ships as a broadcast anti-join: no extra shuffle. CAVEAT (the reason this
+    is opt-in): a duplicate cluster larger than ``max_df`` docs loses ALL the
+    shingles it shares cluster-wide, so its pairs can silently vanish — the
+    heaviest duplicates are exactly what a dedup pass must find. Callers that
+    enable the cap should size it ≫ the largest expected duplicate-cluster
+    (and treat docs whose shingle set the cap empties — exposed as n_sh
+    dropping to 0 in the size relation — as "needs the MinHash path").
+    Jaccard is then exact over the capped universe (sizes counted after the
+    cap, both here and in the SQL oracle).
 
     This remains the exact (quadratic-in-collisions) baseline; the scale path
     is :func:`minhash_lsh_pairs`, which bounds candidate generation by LSH
@@ -150,9 +157,13 @@ def ngram_jaccard_pairs(
     """
     # materialize the integer inverted index ONCE: without this, every branch
     # of the self-join + size joins re-explodes and re-hashes the text column
-    # (16 scans in the unaided plan). The production analog at warehouse
-    # scale is writing the (doc_id, h60) index table and joining against it.
-    sh = exploded_shingles(docs, text, n).select("doc_id", "h60").persist()
+    # (16 scans in the unaided plan). localCheckpoint(eager) rather than
+    # persist(): the blocks are owned by the returned plan and the
+    # ContextCleaner frees them when the result is dropped — no cache leak in
+    # a long-lived session (a bare persist() is never unpersisted here).
+    # The production analog at warehouse scale is writing the (doc_id, h60)
+    # index table and joining against it.
+    sh = exploded_shingles(docs, text, n).select("doc_id", "h60").localCheckpoint()
     if max_df is not None:
         hot = (
             sh.groupBy("h60")
@@ -161,7 +172,7 @@ def ngram_jaccard_pairs(
             .select("h60")
         )
         sh = sh.join(F.broadcast(hot), "h60", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).localCheckpoint()
     a = sh.select(F.col("doc_id").alias("doc_a"), "h60")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h60")
     common = (
@@ -224,8 +235,10 @@ def minhash_lsh_pairs(
     rows = k // bands
     # one materialized pass over the text for the index; signatures, banding,
     # and candidate verification all reuse it (cf. ngram_jaccard_pairs note)
-    shidx = exploded_shingles(docs, text, n).persist()
-    sigs = minhash_signatures(None, text, n, k, index=shidx).persist()
+    # localCheckpoint(eager) not persist(): blocks are freed by the
+    # ContextCleaner when the result is dropped (no unpersist obligation)
+    shidx = exploded_shingles(docs, text, n).localCheckpoint()
+    sigs = minhash_signatures(None, text, n, k, index=shidx).localCheckpoint()
     band_arr = F.array(
         *[
             F.struct(
@@ -283,24 +296,29 @@ def dedup_clusters(
     is the canonical doc a dedup pass keeps.
 
     ``n_iter`` rounds of "take the min label among yourself and your
-    neighbours" reach exactness for components of diameter ≤ 2·n_iter −
-    near-dup clusters are dense (quasi-cliques from LSH banding), so the
-    default 3 converges far beyond any realistic near-dup cluster; the fixed
-    count is part of the spec, making the result deterministic and
+    neighbours" spread the min id ONE hop per round, so the result is exact
+    for components whose min-id node has eccentricity ≤ n_iter (a chain needs
+    as many rounds as its diameter; a node more than n_iter hops from the
+    min-id node keeps a stale label and shows up as a spurious survivor).
+    Near-dup clusters are dense (quasi-cliques from LSH banding, eccentricity
+    1-2), so the default 3 converges for any realistic near-dup cluster; the
+    fixed count is part of the spec, making the result deterministic and
     hash-checkable against the unrolled SQL twin. Each round is one
     equi-join + one min-aggregate over the (tiny) pair relation — the
-    standard distributed-CC shape; at web scale swap in large-star/small-star
-    rounds with the same join skeleton."""
+    standard distributed-CC shape; at web scale (or for long-chain graphs)
+    swap in large-star/small-star rounds — or iterate to fixpoint — with the
+    same join skeleton."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()  # freed on GC of the result; also truncates the
+        # per-round join lineage so label plans stay flat at real iteration depth
     )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
-    for _ in range(n_iter):
+    for i in range(n_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
@@ -315,6 +333,10 @@ def dedup_clusters(
                 ),
             )
         )
+        # at real iteration depth the per-round join lineage compounds; cut it
+        # periodically so deep runs don't re-plan an O(n_iter)-deep DAG
+        if (i + 1) % 5 == 0 and i + 1 < n_iter:
+            labels = labels.localCheckpoint()
     return labels.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_survivor")
     )
@@ -371,7 +393,8 @@ def embedding_near_pairs(
 
     # materialize the tiny (id, sketch) relation once — both band sides and
     # the candidate join reuse it instead of re-running the projection scan
-    sk = emb.select(id_col, emb_col).mapInPandas(fn, schema="vec_id long, sketch long").persist()
+    # (localCheckpoint: blocks freed on GC of the result, no unpersist debt)
+    sk = emb.select(id_col, emb_col).mapInPandas(fn, schema="vec_id long, sketch long").localCheckpoint()
     width = HP_BITS // HP_BANDS
     bandv = F.array(
         *[
@@ -440,8 +463,9 @@ def simhash_near_pairs(docs: DataFrame, text: str = "text", max_hamming: int = 3
     so the join key is (band_id, band_value) — never a cross join. Verify
     with ``bit_count(xor)``."""
     # one materialized pass for the 32-bit fingerprints; both band sides
-    # reuse it instead of re-exploding the word stream
-    s = simhash32(docs, text).persist()
+    # reuse it instead of re-exploding the word stream (localCheckpoint:
+    # blocks freed on GC of the result, no unpersist debt)
+    s = simhash32(docs, text).localCheckpoint()
     width = SIMHASH_BITS // SIMHASH_BANDS
     bandv = F.array(
         *[

@@ -390,6 +390,13 @@ def mmd_online_stats_over(
     via banded diagonals + cumulative sums, never an [L×L] kernel matrix."""
     w = window_size
     rw = n_ref - w
+    if rw < 2:
+        # rw = 0/1 would divide by rw·(rw−1) = 0 in the sub-ref kernel mean
+        # and silently emit NaN/inf stat rows; fail at construction instead.
+        raise ValueError(
+            f"mmd_online_stats_over needs n_ref >= window_size + 2, got n_ref={n_ref}, "
+            f"window_size={w}"
+        )
     two_sig2 = 2.0 * sigma * sigma
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -637,6 +637,111 @@ def mmd_perm_test_hash(
     )
 
 
+def lsdd_perm_test_hash(
+    df: DataFrame,
+    value: str,
+    sample: str = "sample",
+    n_per_side: int = 256,
+    sigma: float = 5.0,
+    lam: float = 0.25,
+    n_permutations: int = 100,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Offline LSDD permutation test in CLOSED FORM — the SQL-oracle-checkable
+    instance of ``alibi_detect/cd/pytorch/lsdd.py:13-135`` /
+    ``utils/pytorch/distance.py:152-243`` (``permed_lsdds``).
+
+    Same statistic structure as the reference (density-difference estimate on
+    kernel-center features, stat = h' H_λ⁻¹ h with
+    H_λ⁻¹ = 2(H+λI)⁻¹ − (H+λI)⁻¹ H (H+λI)⁻¹, p-value = share of permuted
+    stats ≥ observed) with the three randomized/iterative fit choices pinned
+    to deterministic ones so the whole test is a closed-form function of the
+    data, identical in Spark and DuckDB:
+
+    - kernel centers = the first TWO reference rows of the deterministic head
+      subsample (instead of a seeded permutation of the ref,
+      ``lsdd.py:102``), so H is a 2×2 matrix with a closed-form inverse;
+    - σ fixed (instead of the median heuristic) and the ref-moment
+      normalization dropped — a fixed-bandwidth instance, exactly like the
+      ``mmd_online`` deterministic-split variant;
+    - λ fixed (instead of the relative-difference search of
+      ``distance.py:195-223``);
+    - permutations = md5 relabelings (``md5('{p}:{gid}')`` order), which are
+      exchangeable under H0 like RNG shuffles but identical in both engines.
+
+    The reference-faithful seeded variant (median heuristic, λ search,
+    RNG permutations) is :func:`lsdd_perm_test`, pytest-covered.
+    All quadratic-form arithmetic is spelled out scalar-by-scalar (no
+    np.linalg) so the oracle's SQL evaluates the identical expression tree.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    oc = order_col or value
+    w = Window.partitionBy("s").orderBy("o")
+    sub = (
+        df.select(F.col(sample).alias("s"), F.col(value).cast("double").alias("v"), F.col(oc).alias("o"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_side)
+        .select("s", "v", "rn")
+    )
+    two_sig2 = 2.0 * sigma * sigma
+    four_sig2 = 4.0 * sigma * sigma  # (√2·σ)² · 2
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["s", "rn"], kind="mergesort")
+        ref = pdf[pdf["s"] == "ref"]
+        v = pdf["v"].to_numpy()
+        n = int((pdf["s"] == "ref").sum())
+        m = len(v) - n
+        c1 = float(ref[ref["rn"] == 1]["v"].iloc[0])
+        c2 = float(ref[ref["rn"] == 2]["v"].iloc[0])
+        k1 = np.exp(-((v - c1) ** 2) / two_sig2)
+        k2 = np.exp(-((v - c2) ** 2) / two_sig2)
+        # H = k_{√2σ}(centers, centers) = [[1, e], [e, 1]];
+        # B = (H+λI)⁻¹ and H_λ⁻¹ = 2B − BHB, all closed-form scalars
+        e = float(np.exp(-((c1 - c2) ** 2) / four_sig2))
+        a = 1.0 + lam
+        det = a * a - e * e
+        b11, b12 = a / det, -e / det
+        bh11 = b11 + b12 * e
+        bh12 = b11 * e + b12
+        bhb11 = bh11 * b11 + bh12 * b12
+        bhb12 = bh11 * b12 + bh12 * b11
+        m11 = 2.0 * b11 - bhb11
+        m12 = 2.0 * b12 - bhb12
+
+        def lsdd(x_mask: np.ndarray) -> float:
+            h1 = float(k1[x_mask].sum() / n - k1[~x_mask].sum() / m)
+            h2 = float(k2[x_mask].sum() / n - k2[~x_mask].sum() / m)
+            return m11 * (h1 * h1 + h2 * h2) + 2.0 * m12 * h1 * h2
+
+        obs_mask = (pdf["s"] == "ref").to_numpy()
+        stat = lsdd(obs_mask)
+        gid = np.where(obs_mask, pdf["rn"].to_numpy(), n_per_side + pdf["rn"].to_numpy())
+        hits = 0
+        for p in range(1, n_permutations + 1):
+            pri = np.array([hashlib.md5(f"{p}:{g}".encode()).hexdigest() for g in gid])
+            order = np.argsort(pri, kind="stable")
+            mask = np.zeros(len(v), dtype=bool)
+            mask[order[:n]] = True
+            hits += int(stat <= lsdd(mask))
+        return pd.DataFrame(
+            {
+                "n_ref": [n],
+                "n_test": [m],
+                "lsdd_stat": [round(stat, 6) + 0.0],
+                "p_value": [round(hits / n_permutations, 6)],
+            }
+        )
+
+    return sub.groupBy().applyInPandas(
+        fn, schema="n_ref long, n_test long, lsdd_stat double, p_value double"
+    )
+
+
 def lsdd_perm_test(
     df: DataFrame,
     value: str,

@@ -108,7 +108,17 @@ def compact_tier(
     partition's data as ``target_files`` sorted files. Iceberg twin:
     ``CALL system.rewrite_data_files(table => ..., strategy => 'sort')`` —
     this parquet fallback does the same rewrite via a staging directory and
-    an atomic swap. Returns (files_before, files_after).
+    a swap. Returns (files_before, files_after).
+
+    Crash-safety contract (this is two renames, not one atomic op): readers
+    must be quiesced during the swap window — unlike Iceberg's snapshot
+    commit, a concurrent reader can observe the directory missing between the
+    two renames. A stale staging dir from a previously crashed run is
+    discarded before writing, and if the second rename fails the original
+    directory is restored from the swap location, so a crash never strands
+    the table: the data is always at ``path`` or restorable from
+    ``path + "__old"`` (which is only removed after the new data is in
+    place).
 
     Streaming rollups and incremental appends accumulate one file per
     micro-batch/task; scan efficiency at 10^12 rows depends on periodically
@@ -119,15 +129,22 @@ def compact_tier(
     before = len(glob.glob(os.path.join(path, "*.parquet")))
     df = spark.read.parquet(path)
     staged = path.rstrip("/") + "__compacting"
+    swap = path.rstrip("/") + "__old"
+    for stale in (staged, swap):  # leftovers from a previously crashed run
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     (
         df.repartition(target_files)
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .parquet(staged)
     )
-    swap = path.rstrip("/") + "__old"
     os.rename(path, swap)
-    os.rename(staged, path)
+    try:
+        os.rename(staged, path)
+    except OSError:
+        os.rename(swap, path)  # restore the original table, then re-raise
+        raise
     shutil.rmtree(swap)
     after = len(glob.glob(os.path.join(path, "*.parquet")))
     return before, after

@@ -1,0 +1,85 @@
+"""Round-3 operator tests: closed-form LSDD (H0/H1 behavior, the pattern of
+``cd/tests/test_lsdd.py``), the scale-safe exact two-pass percentile in
+``infer_threshold``, and the distributed top-k shape of ``pca_outlier_2feat``.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from alibi_detect_spark.operators import outlier
+from alibi_detect_spark.operators.drift import lsdd_perm_test_hash
+
+
+def _two_sample_df(spark, shift: float, n: int = 1200, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        is_test = i % 2 == 1
+        v = rng.normal(10.0 + (shift if is_test else 0.0), 2.0)
+        rows.append((i, "test" if is_test else "ref", float(v)))
+    return spark.createDataFrame(rows, "event_id long, sample string, value double")
+
+
+def test_lsdd_hash_h0_large_p(spark):
+    out = lsdd_perm_test_hash(
+        _two_sample_df(spark, 0.0), "value", order_col="event_id"
+    ).collect()[0]
+    assert out["n_ref"] == 256 and out["n_test"] == 256
+    assert out["p_value"] > 0.05
+
+
+def test_lsdd_hash_h1_small_p_and_larger_stat(spark):
+    h0 = lsdd_perm_test_hash(
+        _two_sample_df(spark, 0.0), "value", order_col="event_id"
+    ).collect()[0]
+    h1 = lsdd_perm_test_hash(
+        _two_sample_df(spark, 4.0), "value", order_col="event_id"
+    ).collect()[0]
+    assert h1["p_value"] <= 0.01
+    assert h1["lsdd_stat"] > h0["lsdd_stat"]
+
+
+@pytest.mark.parametrize("perc", [50.0, 95.0, 99.0])
+def test_infer_threshold_2pass_matches_exact(spark, perc):
+    rng = np.random.default_rng(3)
+    vals = np.round(rng.lognormal(0.0, 1.0, 5000), 6)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)], "vec_id long, score double"
+    )
+    exact = outlier.infer_threshold(df, "score", perc).select("threshold").first()[0]
+    two = outlier.infer_threshold(df, "score", perc, mode="exact_2pass").select(
+        "threshold"
+    ).first()[0]
+    assert two == pytest.approx(exact, abs=1e-6)
+
+
+def test_infer_threshold_2pass_refinement_path(spark):
+    # force the histogram-refinement loop (collect_cap below the slice size)
+    rng = np.random.default_rng(4)
+    vals = np.round(rng.normal(100.0, 5.0, 20000), 6)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)], "vec_id long, score double"
+    )
+    got = outlier._exact_percentile_2pass(df.select("score"), "score", 0.95, collect_cap=50)
+    want = float(np.quantile(vals, 0.95, method="linear"))
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_infer_threshold_2pass_ties(spark):
+    # heavy ties around the boundary: lo == hi fast-path must fire
+    df = spark.createDataFrame([(i, 7.0) for i in range(5000)], "vec_id long, score double")
+    got = outlier._exact_percentile_2pass(df.select("score"), "score", 0.95, collect_cap=50)
+    assert got == 7.0
+
+
+def test_pca2_topk_is_take_ordered(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    top = outlier.pca_outlier_2feat(
+        li, ("l_quantity", "l_discount"), ["l_orderkey", "l_linenumber"], 10
+    )
+    plan = top._sc._jvm.PythonSQLUtils.explainString(top._jdf.queryExecution(), "formatted")
+    assert "TakeOrderedAndProject" in plan
+    rows = top.collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == sorted(r["rank"] for r in rows)

@@ -191,6 +191,19 @@ def main() -> None:
         "sort here would shuffle the full table.",
     )
 
+    # 6g. pca_outlier_2d top-k: distributed TakeOrderedAndProject, never a
+    #     global single-partition window sort
+    audit(
+        "pca_outlier_2d",
+        qs["pca_outlier_2d"](spark, SF),
+        requires=["TakeOrderedAndProject"],
+        forbids=["Exchange rangepartitioning"],
+        note="Closed-form 2-feature PCA top-k: orderBy+limit compiles to "
+        "TakeOrderedAndProject (per-partition top-k + tiny driver merge); the "
+        "rank window runs on the k survivors only — a global row_number "
+        "window here would sort every scored row on one partition.",
+    )
+
     # 7. dedup minhash: signature agg is partial+final (no raw-shingle shuffle
     #    of text), candidate join is an equi-join
     audit(
