@@ -302,6 +302,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gmm_outlier"] = lambda s, sf: outlier.gmm_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=3
     )
+    # quantized-EM GMM (2 components, 2 features, fixed iterations) — the
+    # hash-checkable instance; responsibilities are rounded to integers so
+    # every M-step moment is an exact integer sum in both engines
+    q["gmm_outlier_2c"] = lambda s, sf: outlier.gmm_outlier_2feat(
+        _t(s, sf, "events").withColumn("u", (F.col("user_id") % 100).cast("double")),
+        ("value", "u"),
+        "event_id",
+        n_iter=2,
+    )
     q["lof_outlier"] = lambda s, sf: outlier.lof_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, k=10
     )
@@ -1240,6 +1249,73 @@ c2 AS ({_KUPDATE.format(cprev='c1', assign='a2')}),
 a3 AS ({_KASSIGN.format(c='c2', dist=_KDIST.format(b='b', c='c2'))})
 SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
 """
+
+    # quantized-EM GMM: the expression trees below mirror
+    # outlier.gmm_outlier_2feat term-for-term (same association order, same
+    # integer quantization) so all derived params are bit-identical
+    _GMM_LD0 = (
+        "(-0.5*ln(2*pi()*v0v) - (v-m0v)*(v-m0v)/(2*v0v)"
+        " - 0.5*ln(2*pi()*v0u) - (u-m0u)*(u-m0u)/(2*v0u) + ln(w0))"
+    )
+    _GMM_LD1 = (
+        "(-0.5*ln(2*pi()*v1v) - (v-m1v)*(v-m1v)/(2*v1v)"
+        " - 0.5*ln(2*pi()*v1u) - (u-m1u)*(u-m1u)/(2*v1u) + ln(w1))"
+    )
+    _gmm_ctes = [
+        """base AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
+                     CAST(user_id % 100 AS DOUBLE) AS u,
+                     CAST(round(CAST(value AS DOUBLE)*1000) AS BIGINT) AS vq,
+                     CAST(round(CAST(user_id % 100 AS DOUBLE)*1000) AS BIGINT) AS uq
+              FROM events)""",
+        """gl AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(vq) AS DOUBLE) AS sv, CAST(sum(vq*vq) AS DOUBLE) AS svv,
+               CAST(sum(uq) AS DOUBLE) AS su, CAST(sum(uq*uq) AS DOUBLE) AS suu
+        FROM base)""",
+        "p0 AS (SELECT v AS i0v, u AS i0u FROM base ORDER BY v, event_id LIMIT 1)",
+        "p1 AS (SELECT v AS i1v, u AS i1u FROM base ORDER BY v DESC, event_id DESC LIMIT 1)",
+        """par0 AS (SELECT i0v AS m0v, i0u AS m0u, i1v AS m1v, i1u AS m1u,
+          svv/(n*1000.0*1000.0) - (sv/(n*1000.0))*(sv/(n*1000.0)) + 1e-9 AS v0v,
+          suu/(n*1000.0*1000.0) - (su/(n*1000.0))*(su/(n*1000.0)) + 1e-9 AS v0u,
+          svv/(n*1000.0*1000.0) - (sv/(n*1000.0))*(sv/(n*1000.0)) + 1e-9 AS v1v,
+          suu/(n*1000.0*1000.0) - (su/(n*1000.0))*(su/(n*1000.0)) + 1e-9 AS v1u,
+          0.5 AS w0, 0.5 AS w1
+        FROM gl CROSS JOIN p0 CROSS JOIN p1)""",
+    ]
+    for t in range(1, 3):
+        _gmm_ctes += [
+            f"""e{t} AS (SELECT event_id, v, u, vq, uq,
+          {_GMM_LD0} AS ld0, {_GMM_LD1} AS ld1
+        FROM base CROSS JOIN par{t - 1})""",
+            f"""r{t} AS (SELECT *, CAST(round(1.0/(1.0+exp(ld1-ld0))*1000) AS BIGINT) AS q0
+        FROM e{t})""",
+            f"""s{t} AS (SELECT
+          CAST(sum(q0) AS DOUBLE) AS r0, CAST(sum(1000-q0) AS DOUBLE) AS r1,
+          CAST(sum(q0*vq) AS DOUBLE) AS sv0, CAST(sum(q0*vq*vq) AS DOUBLE) AS svv0,
+          CAST(sum(q0*uq) AS DOUBLE) AS su0, CAST(sum(q0*uq*uq) AS DOUBLE) AS suu0,
+          CAST(sum((1000-q0)*vq) AS DOUBLE) AS sv1, CAST(sum((1000-q0)*vq*vq) AS DOUBLE) AS svv1,
+          CAST(sum((1000-q0)*uq) AS DOUBLE) AS su1, CAST(sum((1000-q0)*uq*uq) AS DOUBLE) AS suu1
+        FROM r{t})""",
+            f"""par{t} AS (SELECT
+          sv0/(r0*1000.0) AS m0v,
+          svv0/(r0*1000.0*1000.0) - (sv0/(r0*1000.0))*(sv0/(r0*1000.0)) + 1e-9 AS v0v,
+          su0/(r0*1000.0) AS m0u,
+          suu0/(r0*1000.0*1000.0) - (su0/(r0*1000.0))*(su0/(r0*1000.0)) + 1e-9 AS v0u,
+          sv1/(r1*1000.0) AS m1v,
+          svv1/(r1*1000.0*1000.0) - (sv1/(r1*1000.0))*(sv1/(r1*1000.0)) + 1e-9 AS v1v,
+          su1/(r1*1000.0) AS m1u,
+          suu1/(r1*1000.0*1000.0) - (su1/(r1*1000.0))*(su1/(r1*1000.0)) + 1e-9 AS v1u,
+          r0/(r0+r1) AS w0, r1/(r0+r1) AS w1
+        FROM s{t})""",
+        ]
+    _gmm_ctes += [
+        f"""efin AS (SELECT event_id, {_GMM_LD0} AS ld0, {_GMM_LD1} AS ld1
+        FROM base CROSS JOIN par2)""",
+        "sc AS (SELECT event_id, ld0, ld1, greatest(ld0, ld1) AS mx FROM efin)",
+    ]
+    o["gmm_outlier_2c"] = (
+        "WITH " + ",\n".join(_gmm_ctes) + "\n"
+        "SELECT event_id, round(-(mx + ln(exp(ld0-mx)+exp(ld1-mx))), 6) + 0.0 AS gmm_nll FROM sc"
+    )
 
     o["dedup_exact_prefix"] = """
 SELECT md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS content_hash,

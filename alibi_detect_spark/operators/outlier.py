@@ -325,6 +325,110 @@ def pca_outlier_2feat(
     )
 
 
+def gmm_outlier_2feat(
+    df,
+    cols: tuple[str, str],
+    id_col: str = "event_id",
+    n_iter: int = 2,
+    quant: int = 1000,
+    eps: float = 1e-9,
+):
+    """GMM outlier score over TWO features with a QUANTIZED-EM fit — the
+    oracle-checkable instance of ``alibi_detect/od/_gmm.py:22-231`` semantics
+    (fit a Gaussian mixture on the batch, score = negative log-likelihood;
+    the reference's torch EM is ``od/pytorch/gmm.py``). The d-dimensional
+    seeded-EM variant is :func:`gmm_outlier_scores` (rows-only).
+
+    Exactness-by-construction (the EM analog of ``ann.kmeans_cells``'s
+    quantized Lloyd): each E-step's responsibilities are ROUNDED to integers
+    (``round(r·10³)``, identical rounding in DuckDB), so every M-step moment
+    is an exact integer sum (accumulated as DECIMAL(38,0) — order-free under
+    any partitioning) divided once — both engines derive bit-identical
+    means/variances/weights at every iteration, and the final NLL is a
+    deterministic closed-form column of the data. Fixed ``n_iter`` is part of
+    the spec. Init is deterministic: component means at the extreme rows of
+    the first feature (ties by id), shared per-dim population variance
+    (exact decimal moments), equal weights.
+
+    Scale shape: per iteration one corpus scan + one tiny aggregate (the
+    2-component moment row), params travel by closure — no corpus joins, no
+    full-value buffering. The driver holds only the 1-row moment table."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    x, y = cols
+    q = float(quant)
+    base = df.select(
+        F.col(id_col),
+        F.col(x).cast("double").alias("v"),
+        F.col(y).cast("double").alias("u"),
+        F.round(F.col(x).cast("double") * quant).cast("long").alias("vq"),
+        F.round(F.col(y).cast("double") * quant).cast("long").alias("uq"),
+    )
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+
+    gl = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        big(F.col("vq")).alias("sv"),
+        big(F.col("vq") * F.col("vq")).alias("svv"),
+        big(F.col("uq")).alias("su"),
+        big(F.col("uq") * F.col("uq")).alias("suu"),
+    ).collect()[0]
+    n = gl["n"]
+    var_v = gl["svv"] / (n * q * q) - (gl["sv"] / (n * q)) * (gl["sv"] / (n * q)) + eps
+    var_u = gl["suu"] / (n * q * q) - (gl["su"] / (n * q)) * (gl["su"] / (n * q)) + eps
+    p_lo = base.orderBy("v", id_col).limit(1).collect()[0]
+    p_hi = base.orderBy(F.desc("v"), F.desc(id_col)).limit(1).collect()[0]
+    # params[k] = (mean_v, mean_u, var_v, var_u, weight)
+    params = [
+        (float(p_lo["v"]), float(p_lo["u"]), var_v, var_u, 0.5),
+        (float(p_hi["v"]), float(p_hi["u"]), var_v, var_u, 0.5),
+    ]
+
+    def ld(p):
+        mv, mu, vv, vu, w = p
+        return (
+            F.lit(-0.5 * math.log(2 * math.pi * vv))
+            - (F.col("v") - F.lit(mv)) * (F.col("v") - F.lit(mv)) / F.lit(2 * vv)
+            + F.lit(-0.5 * math.log(2 * math.pi * vu))
+            - (F.col("u") - F.lit(mu)) * (F.col("u") - F.lit(mu)) / F.lit(2 * vu)
+            + F.lit(math.log(w))
+        )
+
+    for _ in range(n_iter):
+        q0 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(ld(params[1]) - ld(params[0]))) * quant).cast(
+            "long"
+        )
+        e = base.withColumn("q0", q0).withColumn("q1", F.lit(quant) - F.col("q0"))
+        aggs = []
+        for k in ("q0", "q1"):
+            r = F.col(k)
+            aggs += [
+                big(r).alias(f"r_{k}"),
+                big(r * F.col("vq")).alias(f"sv_{k}"),
+                big(r * F.col("vq") * F.col("vq")).alias(f"svv_{k}"),
+                big(r * F.col("uq")).alias(f"su_{k}"),
+                big(r * F.col("uq") * F.col("uq")).alias(f"suu_{k}"),
+            ]
+        s = e.agg(*aggs).collect()[0]
+        tot = s["r_q0"] + s["r_q1"]
+        new = []
+        for k in ("q0", "q1"):
+            r = s[f"r_{k}"]
+            mv = s[f"sv_{k}"] / (r * q)
+            vv = s[f"svv_{k}"] / (r * q * q) - (s[f"sv_{k}"] / (r * q)) * (s[f"sv_{k}"] / (r * q)) + eps
+            mu = s[f"su_{k}"] / (r * q)
+            vu = s[f"suu_{k}"] / (r * q * q) - (s[f"su_{k}"] / (r * q)) * (s[f"su_{k}"] / (r * q)) + eps
+            new.append((mv, mu, vv, vu, r / tot))
+        params = new
+
+    ld0, ld1 = ld(params[0]), ld(params[1])
+    mx = F.greatest(ld0, ld1)
+    nll = -(mx + F.log(F.exp(ld0 - mx) + F.exp(ld1 - mx)))
+    return base.select(id_col, (F.round(nll, 6) + F.lit(0.0)).alias("gmm_nll"))
+
+
 def iforest_outlier_scores(
     emb: DataFrame,
     ref_pred,

@@ -73,6 +73,36 @@ def test_infer_threshold_2pass_ties(spark):
     assert got == 7.0
 
 
+def test_gmm_2feat_flags_off_cluster(spark):
+    # two tight clusters + 5 far-off points: the quantized EM must give the
+    # off-cluster points a higher NLL than every in-cluster point
+    # (od/tests/test__gmm.py behavioral contract: outliers score higher)
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(400):
+        c = i % 2
+        rows.append(
+            (i, float(rng.normal(0.0 if c == 0 else 20.0, 1.0)), float(rng.normal(0.0 if c == 0 else 10.0, 1.0)))
+        )
+    for j in range(5):
+        rows.append((400 + j, 60.0 + j, -40.0 - j))
+    df = spark.createDataFrame(rows, "event_id long, value double, u double")
+    out = {r["event_id"]: r["gmm_nll"] for r in outlier.gmm_outlier_2feat(df, ("value", "u"), "event_id").collect()}
+    worst_inlier = max(v for k, v in out.items() if k < 400)
+    best_outlier = min(v for k, v in out.items() if k >= 400)
+    assert best_outlier > worst_inlier
+
+
+def test_gmm_2feat_deterministic_across_partitioning(spark):
+    rng = np.random.default_rng(12)
+    rows = [(i, float(rng.normal(10, 3)), float(i % 7)) for i in range(500)]
+    df1 = spark.createDataFrame(rows, "event_id long, value double, u double").repartition(1)
+    df8 = spark.createDataFrame(rows, "event_id long, value double, u double").repartition(8)
+    a = sorted(outlier.gmm_outlier_2feat(df1, ("value", "u"), "event_id").collect())
+    b = sorted(outlier.gmm_outlier_2feat(df8, ("value", "u"), "event_id").collect())
+    assert a == b  # quantized moments ⇒ bit-identical under any partitioning
+
+
 def test_pca2_topk_is_take_ordered(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     top = outlier.pca_outlier_2feat(
