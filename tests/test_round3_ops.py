@@ -84,8 +84,10 @@ def test_gmm_2feat_flags_off_cluster(spark):
         rows.append(
             (i, float(rng.normal(0.0 if c == 0 else 20.0, 1.0)), float(rng.normal(0.0 if c == 0 else 10.0, 1.0)))
         )
+    # outliers sit mid-range in `value` (so the extreme-value init stays on
+    # the real clusters) but ~40σ off in `u`
     for j in range(5):
-        rows.append((400 + j, 60.0 + j, -40.0 - j))
+        rows.append((400 + j, 10.0 + 0.1 * j, -40.0 - j))
     df = spark.createDataFrame(rows, "event_id long, value double, u double")
     out = {r["event_id"]: r["gmm_nll"] for r in outlier.gmm_outlier_2feat(df, ("value", "u"), "event_id").collect()}
     worst_inlier = max(v for k, v in out.items() if k < 400)
