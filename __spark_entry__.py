@@ -1213,9 +1213,11 @@ FROM {cprev} c_prev LEFT JOIN (
         GROUP BY 1, 2)
   GROUP BY 1) cu ON cu.cell = c_prev.cell
 """
-    # farthest-first (maxmin) init: i0 = lowest id; i_j = argmax of the
-    # min-distance to the chosen set (rounded 9dp, tie by id) — mirrors
-    # ann.kmeans_cells exactly on the quantized vectors
+    # k-means‖-style init, mirroring ann.kmeans_cells exactly: (1) md5-priority
+    # candidate sample of 32 vectors (one scan in the engine), (2)
+    # farthest-first (maxmin) over the candidates — seed = lowest candidate
+    # id, then argmax of the min-distance to the chosen set (rounded 9dp,
+    # tie by id) on the quantized vectors
     def _kinit_dist(j: int) -> str:
         return (
             "list_reduce(list_transform(generate_series(1,64), i -> "
@@ -1223,13 +1225,17 @@ FROM {cprev} c_prev LEFT JOIN (
             f"*(b.qv[i]/1000000.0 - i{j}.qv[i]/1000000.0)), (x,y) -> x+y)"
         )
 
-    _init_ctes = ["i0 AS (SELECT vec_id, qv FROM base ORDER BY vec_id LIMIT 1)"]
+    _init_ctes = [
+        "cand AS (SELECT vec_id, qv FROM base "
+        "ORDER BY md5('init:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 32)",
+        "i0 AS (SELECT vec_id, qv FROM cand ORDER BY vec_id LIMIT 1)",
+    ]
     for j in range(1, 8):
         dists = ", ".join(_kinit_dist(m) for m in range(j))
         mind = f"least({dists})" if j > 1 else _kinit_dist(0)
         joins = " CROSS JOIN ".join(f"i{m}" for m in range(j))
         _init_ctes.append(
-            f"i{j} AS (SELECT b.vec_id, b.qv FROM base b CROSS JOIN {joins}\n"
+            f"i{j} AS (SELECT b.vec_id, b.qv FROM cand b CROSS JOIN {joins}\n"
             f"          ORDER BY round({mind}, 9) DESC, b.vec_id LIMIT 1)"
         )
     _c0 = " UNION ALL ".join(

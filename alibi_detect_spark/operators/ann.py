@@ -192,6 +192,7 @@ def kmeans_cells(
     n_iter: int = 2,
     id_col: str = "vec_id",
     quant: int = 1_000_000,
+    n_candidates: int = 32,
 ) -> DataFrame:
     """Deterministic k-means IVF cell builder: assigns every vector a coarse
     cell for :func:`cosine_topk_ivf`-style pruned search.
@@ -201,50 +202,51 @@ def kmeans_cells(
     (``round(x·10⁶)`` — engine-side rounding, identical in DuckDB), so Lloyd
     centroid updates are exact integer sums divided once — both engines
     derive bit-identical centroids, and the oracle hash-checks the full
-    assignment. Init = deterministic farthest-first traversal (maxmin,
-    the k-center 2-approximation): seed = lowest id, then repeatedly the
-    point maximizing its min-distance to the chosen set (distance rounded to
-    9dp before ranking, ties by id — cross-engine reproducible). A lowest-id
-    init would sit inside one cluster and Lloyd could not unmerge it.
+    assignment.
 
-    Scale shape: init = n_cells−1 corpus scans emitting (id, min-dist) with a
-    global top-1 (TakeOrdered); each Lloyd iteration is one corpus scan
+    Init = k-means‖-style two-phase seeding, ONE corpus scan total (the
+    farthest-first-over-the-corpus alternative is n_cells−1 scans — at a
+    production cell count, √N ≈ 10⁶ cells for 10¹² vectors, that is 10⁶
+    scans): (1) an md5-priority sample of ``n_candidates`` vectors
+    (``orderBy(md5('init:'||id)).limit`` → TakeOrdered, one scan, no
+    shuffle of the corpus); (2) deterministic farthest-first traversal
+    (maxmin, the k-center 2-approximation) driver-side over the tiny
+    candidate set — seed = lowest candidate id, then repeatedly the candidate
+    maximizing its min-distance to the chosen set (distance rounded to 9dp
+    before ranking, ties by id — cross-engine reproducible). A pure
+    lowest-id init would sit inside one cluster and Lloyd could not unmerge
+    it; farthest-first on an exchangeable sample keeps the spread property
+    with O(n_candidates²) driver work instead of O(n_cells) scans.
+
+    Scale shape: one sample scan + per Lloyd iteration one corpus scan
     (assignment, vectorized NumPy per Arrow batch) + one tiny aggregate
     (n_cells × dim partial sums, map-side combined); centroids travel by
-    closure. No corpus joins."""
+    closure. No corpus joins; the quantized projection is cached only for
+    the driver-side phases and unpersisted before return."""
+    if n_candidates < n_cells:
+        raise ValueError("n_candidates must be >= n_cells")
     qv = F.transform(
         F.col(EMB_COL), lambda x: F.round(x.cast("double") * quant).cast("long")
     )
     qdf = emb.select(id_col, qv.alias("qv")).persist()
 
-    # --- farthest-first init ---
-    first = qdf.orderBy(id_col).limit(1).toPandas()
-    chosen = [np.asarray(first["qv"].iloc[0], dtype=np.float64)]
+    # --- phase 1: md5-priority candidate sample (one TakeOrdered scan) ---
+    pri = F.md5(F.concat(F.lit("init:"), F.col(id_col).cast("string")))
+    cand = qdf.orderBy(pri, F.col(id_col)).limit(n_candidates).toPandas()
+    cids = cand[id_col].to_numpy()
+    cqv = np.stack(cand["qv"].to_numpy()).astype(np.float64)
+    cx = cqv / quant
+
+    # --- phase 2: farthest-first on the candidates (driver-side, tiny) ---
+    chosen = [int(np.argmin(cids))]
     for _ in range(1, n_cells):
-        c_arr = np.stack(chosen) / quant
-
-        def md_fn(batches, c_arr=c_arr):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.stack(pdf["qv"].to_numpy()).astype(np.float64) / quant
-                # direct differences, not the expansion trick: the init rank
-                # rounds at 9dp and expansion error (~1e-12) would knife-edge
-                diff = x[:, None, :] - c_arr[None, :, :]
-                d2 = np.einsum("ijk,ijk->ij", diff, diff)
-                out = pd.DataFrame({id_col: pdf[id_col].to_numpy()})
-                out["mind"] = np.round(d2.min(axis=1), 9)
-                out["qv"] = pdf["qv"].to_numpy()
-                yield out
-
-        top = (
-            qdf.mapInPandas(md_fn, schema=f"{id_col} long, mind double, qv array<long>")
-            .orderBy(F.desc("mind"), id_col)
-            .limit(1)
-            .toPandas()
-        )
-        chosen.append(np.asarray(top["qv"].iloc[0], dtype=np.float64))
-    cents = np.stack(chosen) / quant  # [k, d]
+        # direct differences, not the expansion trick: the init rank rounds
+        # at 9dp and expansion error (~1e-12) would knife-edge
+        diff = cx[:, None, :] - cx[chosen][None, :, :]
+        d2 = np.einsum("ijk,ijk->ij", diff, diff)
+        mind = np.round(d2.min(axis=1), 9)
+        chosen.append(int(np.lexsort((cids, -mind))[0]))
+    cents = cqv[chosen] / quant  # [k, d]
 
     def assign_fn(cents_now):
         def fn(batches):
@@ -277,7 +279,12 @@ def kmeans_cells(
             g = grp.sort_values("pos")
             new[c] = g["s"].to_numpy(dtype=np.float64) / (g["n"].to_numpy(dtype=np.float64) * quant)
         cents = new
-    final = qdf.mapInPandas(assign_fn(cents.copy()), schema=schema)
+    # the final assignment scan recomputes the cheap quantized projection from
+    # the source so the cached relation can be released NOW (no cache debt in
+    # a long-lived session) instead of leaking until executor-storage pressure
+    final_src = emb.select(id_col, qv.alias("qv"))
+    final = final_src.mapInPandas(assign_fn(cents.copy()), schema=schema)
+    qdf.unpersist()
     return final.select(id_col, "cell")
 
 

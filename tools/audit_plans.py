@@ -191,6 +191,32 @@ def main() -> None:
         "sort here would shuffle the full table.",
     )
 
+    # 6f2. IVF index build: the returned assignment plan must be ONE corpus
+    #      scan + one Arrow stage (init is one TakeOrdered sample scan + tiny
+    #      driver work; Lloyd iterations are one scan + tiny agg each — the
+    #      old farthest-first init was n_cells−1 sequential corpus scans)
+    df = qs["ann_ivf_build"](spark, SF)
+    p = plan_of(df)
+    # formatted plans print each scan twice (tree line + detail header);
+    # count the detail headers only
+    n_scans = p.count(") Scan parquet")
+    ok = n_scans == 1 and "MapInPandas" in p and "Join" not in p
+    if not ok:
+        failures.append(
+            f"ann_ivf_build: final plan wants 1 scan + MapInPandas, no joins "
+            f"(got {n_scans} scans)"
+        )
+    sections.append(
+        "## ann_ivf_build — single-scan assignment, scan-bounded init\n\n"
+        "k-means cell assignment: centroids travel by closure, so the final "
+        "plan is exactly one corpus scan feeding one Arrow stage — no joins, "
+        "no corpus shuffle. Init is one md5-priority TakeOrdered sample scan "
+        "(k-means‖-style) + driver-side farthest-first on the 32 candidates; "
+        f"each Lloyd iteration is one scan + one tiny aggregate. Check: "
+        f"{'OK' if ok else 'FAIL'} ({n_scans} scan(s) in the assignment plan)\n\n"
+        "```\n" + "\n".join(l for l in p.splitlines() if l.strip())[:1200] + "\n```\n"
+    )
+
     # 6g. pca_outlier_2d top-k: distributed TakeOrderedAndProject, never a
     #     global single-partition window sort
     audit(
