@@ -219,6 +219,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _events_labeled(s, sf), "value", n_per_side=256, sigma=5.0, lam=0.25,
         order_col="event_id",
     )
+    # LearnedKernelDrift closed-form analog: ridge-learned rank-1 + RBF
+    # mixture kernel fitted on an md5 train split, MMD + md5 permutations on
+    # the holdout
+    q["learned_kernel_drift"] = lambda s, sf: drift.learned_kernel_drift_hash(
+        _events_labeled(s, sf), "value", n_per_side=256, order_col="event_id"
+    )
     q["uncertainty_drift"] = lambda s, sf: drift.uncertainty_drift(
         _t(s, sf, "embeddings").withColumn(
             "sample",
@@ -816,6 +822,74 @@ SELECT CAST(256 AS BIGINT) AS n_ref, CAST(256 AS BIGINT) AS n_test,
        round(obs.stat, 6) + 0.0 AS mmd2,
        round(sum(CASE WHEN obs.stat <= ps.stat THEN 1 ELSE 0 END)/100.0, 6) AS p_value
 FROM ps CROSS JOIN obs GROUP BY obs.stat
+"""
+
+    # LearnedKernelDrift closed-form analog — mirrors
+    # drift.learned_kernel_drift_hash term-for-term: md5 train/holdout split,
+    # ridge head on mean±std RBF probes of the train half, kernel
+    # k = 0.75·Φ(x)Φ(y) + 0.25·rbf(x,y), unbiased MMD² + md5 permutations on
+    # the holdout only
+    o["learned_kernel_drift"] = """
+WITH lab AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+                    value AS v, event_id AS o FROM events),
+sub AS (SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY o) AS rn FROM lab
+        QUALIFY rn <= 256),
+fl AS (SELECT CAST(v AS DOUBLE) AS v, s,
+              CASE WHEN s = 'ref' THEN rn ELSE 256 + rn END AS gid,
+              CAST(('0x' || substr(md5('lk:' || CAST(CASE WHEN s = 'ref' THEN rn ELSE 256 + rn END AS VARCHAR)),1,4)) AS BIGINT) % 2 AS fold
+       FROM sub),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS gn, sum(v) AS gsv, sum(v*v) AS gsvv
+      FROM fl WHERE fold = 0),
+gs AS (SELECT gn, gsv/gn AS gm, sqrt(gsvv/gn - (gsv/gn)*(gsv/gn) + 1e-9) AS gsd FROM g),
+tf AS (SELECT CASE WHEN s = 'ref' THEN 0.0 ELSE 1.0 END AS y,
+              exp(-((v-(gm+gsd))*(v-(gm+gsd)))/(2.0*gsd*gsd)) AS f1,
+              exp(-((v-(gm-gsd))*(v-(gm-gsd)))/(2.0*gsd*gsd)) AS f2,
+              gn
+       FROM fl CROSS JOIN gs WHERE fold = 0),
+mm AS (SELECT gn, sum(f1)/gn AS m1, sum(f2)/gn AS m2, sum(y)/gn AS my,
+              sum(f1*f1)/gn AS e11, sum(f2*f2)/gn AS e22, sum(f1*f2)/gn AS e12,
+              sum(f1*y)/gn AS e1y, sum(f2*y)/gn AS e2y
+       FROM tf GROUP BY gn),
+cm AS (SELECT m1, m2, my,
+              e11 - m1*m1 AS c11, e22 - m2*m2 AS c22, e12 - m1*m2 AS c12,
+              e1y - m1*my AS c1y, e2y - m2*my AS c2y FROM mm),
+cf AS (SELECT m1, m2, my,
+              ((c22 + 0.1)*c1y - c12*c2y) / ((c11 + 0.1)*(c22 + 0.1) - c12*c12) AS b1,
+              ((c11 + 0.1)*c2y - c12*c1y) / ((c11 + 0.1)*(c22 + 0.1) - c12*c12) AS b2
+       FROM cm),
+cf2 AS (SELECT b1, b2, my - b1*m1 - b2*m2 AS a0 FROM cf),
+ho AS (SELECT v, s, gid,
+              a0 + b1*exp(-((v-(gm+gsd))*(v-(gm+gsd)))/(2.0*gsd*gsd))
+                 + b2*exp(-((v-(gm-gsd))*(v-(gm-gsd)))/(2.0*gsd*gsd)) AS sc
+       FROM fl CROSS JOIN gs CROSS JOIN cf2 WHERE fold = 1),
+cnts AS (SELECT CAST(sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS DOUBLE) AS nh,
+                CAST(sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS DOUBLE) AS mh FROM ho),
+pairs AS (SELECT a.gid AS ia, b.gid AS ib, a.s AS sa, b.s AS sb,
+                 0.75*(a.sc*b.sc) + 0.25*exp(-((a.v-b.v)*(a.v-b.v))/50.0) AS k
+          FROM ho a CROSS JOIN ho b),
+obs AS (SELECT nh, mh,
+        sum(CASE WHEN sa = 'ref' AND sb = 'ref' AND ia <> ib THEN k ELSE 0 END)/(nh*(nh-1.0))
+      + sum(CASE WHEN sa <> 'ref' AND sb <> 'ref' AND ia <> ib THEN k ELSE 0 END)/(mh*(mh-1.0))
+      - 2.0*sum(CASE WHEN sa = 'ref' AND sb <> 'ref' THEN k ELSE 0 END)/(nh*mh) AS stat
+        FROM pairs CROSS JOIN cnts GROUP BY nh, mh),
+assign AS (SELECT p, gid,
+           CASE WHEN row_number() OVER (PARTITION BY p
+                ORDER BY md5(CAST(p AS VARCHAR) || ':' || CAST(gid AS VARCHAR)))
+                <= (SELECT CAST(nh AS BIGINT) FROM cnts)
+                THEN 1 ELSE 0 END AS is_x
+           FROM (SELECT unnest(generate_series(1, 100)) AS p) CROSS JOIN (SELECT gid FROM ho)),
+ps AS (SELECT ax.p AS p, nh, mh,
+       sum(CASE WHEN ax.is_x = 1 AND bx.is_x = 1 AND pairs.ia <> pairs.ib THEN k ELSE 0 END)/(nh*(nh-1.0))
+     + sum(CASE WHEN ax.is_x = 0 AND bx.is_x = 0 AND pairs.ia <> pairs.ib THEN k ELSE 0 END)/(mh*(mh-1.0))
+     - 2.0*sum(CASE WHEN ax.is_x = 1 AND bx.is_x = 0 THEN k ELSE 0 END)/(nh*mh) AS stat
+       FROM pairs JOIN assign ax ON ax.gid = pairs.ia
+                  JOIN assign bx ON bx.gid = pairs.ib AND bx.p = ax.p
+       CROSS JOIN cnts
+       GROUP BY 1, nh, mh)
+SELECT CAST(obs.nh AS BIGINT) AS n_ref, CAST(obs.mh AS BIGINT) AS n_test,
+       round(obs.stat, 6) + 0.0 AS lk_stat,
+       round(sum(CASE WHEN obs.stat <= ps.stat THEN 1 ELSE 0 END)/100.0, 6) AS p_value
+FROM ps CROSS JOIN obs GROUP BY obs.nh, obs.mh, obs.stat
 """
 
     # closed-form LSDD (2 fixed centers c1/c2 = first two ref rows, σ=5 so

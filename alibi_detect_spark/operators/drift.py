@@ -637,6 +637,132 @@ def mmd_perm_test_hash(
     )
 
 
+def learned_kernel_drift_hash(
+    df: DataFrame,
+    value: str,
+    sample: str = "sample",
+    n_per_side: int = 256,
+    sigma: float = 5.0,
+    lam: float = 0.1,
+    eps_mix: float = 0.25,
+    var_eps: float = 1e-9,
+    n_permutations: int = 100,
+    order_col: str | None = None,
+) -> DataFrame:
+    """LearnedKernelDrift (``alibi_detect/cd/learned_kernel.py:21-198``) in
+    CLOSED FORM: the reference trains a deep kernel
+    ``k(x,y) = (1−eps)·k_a(Φ(x),Φ(y)) + eps·k_b(x,y)`` on a held-out train
+    split to maximize MMD power, then runs an MMD permutation test on the
+    remaining data with the trained kernel. This analog keeps the exact
+    contract — kernel FITTED on a disjoint split, MMD + permutations on the
+    holdout only, mixture of a learned component with a fixed RBF — with the
+    torch-trained ``Φ`` replaced by a closed-form ridge projection:
+
+    - split: md5-derived (``md5('lk:'||gid) % 2``), train half / holdout
+      half (reference: ``train_size`` split, ``cd/base.py:158``);
+    - learned component: ``Φ(x) = a + b₁φ₁(x) + b₂φ₂(x)`` with RBF features
+      ``φ`` at deterministic mean±std probes of the train split and ridge
+      coefficients from the train split's ref/test labels (the
+      discriminative direction — a rank-1 learned kernel
+      ``k_a = Φ(x)·Φ(y)``);
+    - final kernel ``k = (1−eps)·Φ(x)Φ(y) + eps·rbf(x,y)`` (the reference's
+      eps-mixture, ``utils/pytorch/kernels.py DeepKernel``);
+    - stat: unbiased MMD² on the holdout; p-value from md5-derived
+      permutations of the holdout labels (kernel frozen — matching
+      ``learned_kernel.py:174-198`` where permutations reuse the trained
+      kernel matrix).
+
+    Everything is a closed-form function of the data → hash-checkable
+    against the DuckDB oracle (scalar arithmetic mirrored term-for-term)."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    oc = order_col or value
+    w = Window.partitionBy("s").orderBy("o")
+    sub = (
+        df.select(F.col(sample).alias("s"), F.col(value).cast("double").alias("v"), F.col(oc).alias("o"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_side)
+        .select("s", "v", "rn")
+    )
+    two_sig2 = 2.0 * sigma * sigma
+    one_m_eps = 1.0 - eps_mix
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["s", "rn"], kind="mergesort")
+        v = pdf["v"].to_numpy()
+        ref_mask = (pdf["s"] == "ref").to_numpy()
+        gid = np.where(ref_mask, pdf["rn"].to_numpy(), n_per_side + pdf["rn"].to_numpy())
+        fold = np.array(
+            [int(hashlib.md5(f"lk:{g}".encode()).hexdigest()[:4], 16) % 2 for g in gid]
+        )
+        tr, ho = fold == 0, fold == 1
+        vt, yt = v[tr], (~ref_mask[tr]).astype(np.float64)
+        gn = float(len(vt))
+        gm = float(vt.sum()) / gn
+        gsd = math.sqrt(float((vt * vt).sum()) / gn - (float(vt.sum()) / gn) * (float(vt.sum()) / gn) + var_eps)
+
+        def phi(x):
+            return (
+                np.exp(-((x - (gm + gsd)) ** 2) / (2.0 * gsd * gsd)),
+                np.exp(-((x - (gm - gsd)) ** 2) / (2.0 * gsd * gsd)),
+            )
+
+        f1, f2 = phi(vt)
+        m1, m2, my = float(f1.sum()) / gn, float(f2.sum()) / gn, float(yt.sum()) / gn
+        c11 = float((f1 * f1).sum()) / gn - m1 * m1
+        c22 = float((f2 * f2).sum()) / gn - m2 * m2
+        c12 = float((f1 * f2).sum()) / gn - m1 * m2
+        c1y = float((f1 * yt).sum()) / gn - m1 * my
+        c2y = float((f2 * yt).sum()) / gn - m2 * my
+        det = (c11 + lam) * (c22 + lam) - c12 * c12
+        b1 = ((c22 + lam) * c1y - c12 * c2y) / det
+        b2 = ((c11 + lam) * c2y - c12 * c1y) / det
+        a0 = my - b1 * m1 - b2 * m2
+
+        vh, hmask, hgid = v[ho], ref_mask[ho], gid[ho]
+        h1, h2 = phi(vh)
+        sc = a0 + b1 * h1 + b2 * h2
+        d = vh[:, None] - vh[None, :]
+        k = one_m_eps * (sc[:, None] * sc[None, :]) + eps_mix * np.exp(-(d * d) / two_sig2)
+        nh, mh = int(hmask.sum()), int((~hmask).sum())
+
+        def mmd2(x_mask: np.ndarray) -> float:
+            kxx = k[np.ix_(x_mask, x_mask)]
+            kyy = k[np.ix_(~x_mask, ~x_mask)]
+            kxy = k[np.ix_(x_mask, ~x_mask)]
+            nn, mm = float(x_mask.sum()), float((~x_mask).sum())
+            return (
+                (kxx.sum() - np.trace(kxx)) / (nn * (nn - 1.0))
+                + (kyy.sum() - np.trace(kyy)) / (mm * (mm - 1.0))
+                - 2.0 * kxy.sum() / (nn * mm)
+            )
+
+        stat = mmd2(hmask)
+        hits = 0
+        for p in range(1, n_permutations + 1):
+            pri = np.array([hashlib.md5(f"{p}:{g}".encode()).hexdigest() for g in hgid])
+            order = np.argsort(pri, kind="stable")
+            mask = np.zeros(len(vh), dtype=bool)
+            mask[order[:nh]] = True
+            hits += int(stat <= mmd2(mask))
+        return pd.DataFrame(
+            {
+                "n_ref": [nh],
+                "n_test": [mh],
+                "lk_stat": [round(stat, 6) + 0.0],
+                "p_value": [round(hits / n_permutations, 6)],
+            }
+        )
+
+    return sub.groupBy().applyInPandas(
+        fn, schema="n_ref long, n_test long, lk_stat double, p_value double"
+    )
+
+
 def lsdd_perm_test_hash(
     df: DataFrame,
     value: str,

@@ -89,6 +89,22 @@ def test_spot_the_diff_h0_h1(spark):
     assert h1["diff_hi"] > 0 > h1["diff_lo"]
 
 
+def test_learned_kernel_h0_h1(spark):
+    # cd/tests/test_learned_kernel.py contract: kernel trained on a split,
+    # MMD+permutations on the holdout; H0 → large p, H1 → tiny p
+    from alibi_detect_spark.operators.drift import learned_kernel_drift_hash
+
+    h0 = learned_kernel_drift_hash(
+        _two_sample_df(spark, 0.0, seed=0), "value", order_col="event_id"
+    ).collect()[0]
+    h1 = learned_kernel_drift_hash(
+        _two_sample_df(spark, 3.0), "value", order_col="event_id"
+    ).collect()[0]
+    assert h0["n_ref"] + h0["n_test"] > 200  # holdout half of 512
+    assert h0["p_value"] > 0.05
+    assert h1["p_value"] < 1e-4
+
+
 def test_gmm_2feat_flags_off_cluster(spark):
     # two tight clusters + 5 far-off points: the quantized EM must give the
     # off-cluster points a higher NLL than every in-cluster point
