@@ -219,6 +219,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _events_labeled(s, sf), "value", n_per_side=256, sigma=5.0, lam=0.25,
         order_col="event_id",
     )
+    # preprocess_drift analog: text → deterministic md5 hash-projection
+    # embedding → per-feature KS (the preprocess_fn pipeline of the
+    # reference, with the torch embedding replaced by the hash projection)
+    q["preproc_drift"] = lambda s, sf: drift.preprocess_drift_hashproj(
+        _t(s, sf, "documents").withColumn(
+            "sample",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("ref")).otherwise(F.lit("test")),
+        )
+    )
     # LearnedKernelDrift closed-form analog: ridge-learned rank-1 + RBF
     # mixture kernel fitted on an md5 train split, MMD + md5 permutations on
     # the holdout
@@ -822,6 +831,41 @@ SELECT CAST(256 AS BIGINT) AS n_ref, CAST(256 AS BIGINT) AS n_test,
        round(obs.stat, 6) + 0.0 AS mmd2,
        round(sum(CASE WHEN obs.stat <= ps.stat THEN 1 ELSE 0 END)/100.0, 6) AS p_value
 FROM ps CROSS JOIN obs GROUP BY obs.stat
+"""
+
+    o["preproc_drift"] = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+f AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+  round(CAST(list_sum(list_transform(words,
+      x -> CAST(('0x'||substr(md5('pp0:'||x),1,8)) AS BIGINT) % 2001 - 1000)) AS DOUBLE)
+    / len(words), 9) AS f0,
+  round(CAST(list_sum(list_transform(words,
+      x -> CAST(('0x'||substr(md5('pp1:'||x),1,8)) AS BIGINT) % 2001 - 1000)) AS DOUBLE)
+    / len(words), 9) AS f1
+  FROM w),
+lab AS (SELECT 'proj0' AS feature, f0 AS v, s FROM f
+        UNION ALL SELECT 'proj1' AS feature, f1 AS v, s FROM f),
+g AS (SELECT feature, v,
+             sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+             sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS c_test
+      FROM lab GROUP BY 1, 2),
+c AS (SELECT feature, c_ref, c_test,
+             sum(c_ref)  OVER (PARTITION BY feature ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_ref,
+             sum(c_test) OVER (PARTITION BY feature ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_test,
+             sum(c_ref)  OVER (PARTITION BY feature) AS n_ref,
+             sum(c_test) OVER (PARTITION BY feature) AS n_test
+      FROM g),
+d AS (SELECT feature, n_ref, n_test, max(abs(cum_ref/n_ref - cum_test/n_test)) AS d_raw
+      FROM c GROUP BY 1, 2, 3),
+t AS (SELECT feature, n_ref, n_test, d_raw,
+             sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS tt FROM d)
+SELECT feature, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_test AS BIGINT) AS n_test,
+       round(d_raw, 9) AS ks_stat,
+       round(CASE WHEN tt <= 0 THEN 1.0 ELSE
+         least(greatest(list_sum(list_transform(generate_series(1, 100),
+           k -> 2.0 * pow(-1.0, k-1) * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * tt * tt))), 0.0), 1.0)
+       END, 9) AS p_value
+FROM t
 """
 
     # LearnedKernelDrift closed-form analog — mirrors

@@ -637,6 +637,58 @@ def mmd_perm_test_hash(
     )
 
 
+def preprocess_drift_hashproj(
+    docs: DataFrame,
+    text: str = "text",
+    sample: str = "sample",
+    n_features: int = 2,
+) -> DataFrame:
+    """Drift-with-preprocessing for raw text — the engine's analog of the
+    reference's ``preprocess_drift`` pipeline (``cd/pytorch/preprocess.py:
+    87-124``: tokenizer + embedding model → UAE projection → univariate
+    drift test; wired into every detector via ``preprocess_fn``,
+    ``cd/base.py:891-896``).
+
+    A torch/TF embedding model is out of this environment, so the embedding
+    is a DETERMINISTIC hash projection (the same device as
+    ``operators/multimodal.py``'s feature extractor): feature_j(doc) =
+    mean over words of ``md5('pp{j}:'||word)``-derived integers in
+    [−1000, 1000] — a random-projection bag-of-words embedding that is
+    identical in Spark and DuckDB. Word sums are integer-exact (order-free),
+    one division per doc, then the per-feature KS two-sample test between
+    ref and test documents (``KSDrift`` over the projected features — the
+    exact contract of ``preprocess_drift`` + ``cd/ks.py``).
+
+    Scale shape: pure column expressions over the doc scan (map-side md5,
+    whole-stage codegen), one ECDF shuffle per feature — scan-bound."""
+    w = F.split(F.col(text), " ")
+
+    # factory, NOT a default-arg lambda: F.transform inspects lambda arity,
+    # and a second parameter would be bound to the array INDEX column
+    def _hp(prefix: str):
+        return lambda x: (
+            F.conv(F.substring(F.md5(F.concat(F.lit(prefix), x)), 1, 8), 16, 10).cast("long")
+            % 2001
+            - 1000
+        )
+
+    feats = []
+    for j in range(n_features):
+        hp = F.transform(w, _hp(f"pp{j}:"))
+        tot = F.aggregate(hp, F.lit(0).cast("long"), lambda acc, t: acc + t)
+        feats.append(F.round(tot.cast("double") / F.size(w), 9).alias(f"f{j}"))
+    proj = docs.select(F.col(sample).alias("s"), *feats)
+    lab = None
+    for j in range(n_features):
+        part = proj.select(
+            F.lit(f"proj{j}").alias("feature"),
+            F.col(f"f{j}").alias("value"),
+            F.col("s").alias(sample),
+        )
+        lab = part if lab is None else lab.unionByName(part)
+    return ks_2samp(lab, "feature", "value", sample)
+
+
 def learned_kernel_drift_hash(
     df: DataFrame,
     value: str,

@@ -107,6 +107,34 @@ def test_learned_kernel_h0_h1(spark):
     assert h1["p_value"] < 1e-4
 
 
+def test_preproc_drift_vocab_shift(spark):
+    # preprocess_drift contract (cd/pytorch/preprocess.py:87-124 role): the
+    # projected-embedding KS flags a vocabulary shift, stays quiet under H0
+    from alibi_detect_spark.operators.drift import preprocess_drift_hashproj
+
+    rng = np.random.default_rng(5)
+    vocab_a = [f"tok{i}" for i in range(50)]
+    vocab_b = [f"new{i}" for i in range(50)]
+
+    def docs(shifted):
+        rows = []
+        for i in range(600):
+            is_test = i % 2 == 1
+            voc = vocab_b if (shifted and is_test) else vocab_a
+            words = [voc[rng.integers(0, 50)] for _ in range(30)]
+            rows.append((i, "test" if is_test else "ref", " ".join(words)))
+        return spark.createDataFrame(rows, "doc_id long, sample string, text string")
+
+    h0 = {r["feature"]: r for r in preprocess_drift_hashproj(docs(False)).collect()}
+    h1 = {r["feature"]: r for r in preprocess_drift_hashproj(docs(True)).collect()}
+    assert len(h0) == 2
+    assert min(r["p_value"] for r in h0.values()) > 0.01
+    # detection = min p across features (the reference's Bonferroni
+    # aggregation, cd/base.py:1003): one projection may randomly align with
+    # the shift direction weakly, the other must fire hard
+    assert min(r["p_value"] for r in h1.values()) < 1e-6
+
+
 def test_gmm_2feat_flags_off_cluster(spark):
     # two tight clusters + 5 far-off points: the quantized EM must give the
     # off-cluster points a higher NLL than every in-cluster point
