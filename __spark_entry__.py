@@ -447,6 +447,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["online_decisions"] = online_decisions
 
+    # CVM decision trajectory with a FULL oracle: the thresholds are
+    # distribution-free (functions of (n_ref, windows, ert, seed) only), so
+    # oracle_sql() computes them with the same NumPy and inlines them as SQL
+    # literals — the decision column becomes a join + comparison
+    # (cd/base_online.py:131-144,382-395 threshold-lookup semantics)
+    q["cvm_decisions"] = lambda s, sf: (
+        cvm_online_over(
+            metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
+            "event_type", "bucket_ts", "avg_value",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(fin("cvm_stat"), 1).otherwise(0)).cast("long").alias("n_scored"),
+            F.sum("cvm_is_drift").cast("long").alias("n_drift"),
+        )
+        .select(F.lit("cvm").alias("detector"), "event_type", "n_scored", "n_drift")
+    )
+
     # --- dedup family ----------------------------------------------------
     q["dedup_exact_prefix"] = lambda s, sf: dedup.exact_dup_groups(
         _t(s, sf, "documents"), prefix_words=8
@@ -1689,6 +1707,55 @@ SELECT s.event_type AS event_type, s.bucket_ts AS bucket_ts,
                                   - 2.0*100.0*10.0))
                     / (45.0*110.0*110.0*4.0*100.0*10.0)), 6) + 0.0 AS cvm_stat
 FROM terms JOIN s ON s.event_type = terms.event_type AND s.rn = 100 + terms.t
+"""
+
+    # cvm_decisions: same stat chain as cvm_online but UNROUNDED, with the
+    # driver-simulated distribution-free thresholds inlined as literals
+    # (computed here with the very NumPy the engine uses — seed 42, ert 50,
+    # 400 bootstraps; thresholds depend only on those, never on the data)
+    from alibi_detect_spark.functions.cvm import fit_thresholds as _cvm_fit_thr
+
+    _thr = _cvm_fit_thr(100, (10,), 50.0, n_bootstraps=400, seed=42)
+    _thr_rows = ", ".join(f"({t + 1}, {_thr[t]!r})" for t in range(9, 19))
+    o["cvm_decisions"] = f"""
+WITH r AS ({_ROLLUP_1H}),
+s AS (SELECT event_type, bucket_ts, avg_value AS v,
+             row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn
+      FROM r),
+agg AS (SELECT event_type, list(v ORDER BY rn) AS vals FROM s GROUP BY 1),
+base AS (SELECT event_type, vals[1:100] AS ref, vals[101:] AS stream FROM agg
+         WHERE len(vals) > 110),
+refcdf AS (SELECT event_type, ref, stream,
+                  list_transform(ref, p -> len(list_filter(ref, x -> x <= p))/100.0) AS fr
+           FROM base),
+ends AS (SELECT event_type, ref, stream, fr,
+                unnest(generate_series(10, len(stream))) AS t
+         FROM refcdf),
+win AS (SELECT event_type, ref, fr, t, stream[t-9:t] AS w FROM ends),
+terms AS (SELECT event_type, t,
+    list_reduce(list_transform(
+        list_transform(ref, (p, i) -> fr[i] - len(list_filter(w, x -> x <= p))/10.0),
+        d -> d*d), (a, b) -> a + b)
+  + list_reduce(list_transform(
+        list_transform(w, p -> len(list_filter(ref, x -> x <= p))/100.0
+                              - len(list_filter(w, x -> x <= p))/10.0),
+        d -> d*d), (a, b) -> a + b) AS s2
+  FROM win),
+st AS (SELECT event_type, t,
+       (s2 * (100.0*10.0/(110.0*110.0)) - (1.0/6.0 + 1.0/(6.0*110.0)))
+             / sqrt(((110.0+1.0)*(4.0*100.0*10.0*110.0 - 3.0*(100.0*100.0+10.0*10.0)
+                                  - 2.0*100.0*10.0))
+                    / (45.0*110.0*110.0*4.0*100.0*10.0)) AS stat
+       FROM terms),
+thrt(tt, thr) AS (VALUES {_thr_rows}),
+dec AS (SELECT event_type, count(*) AS n_scored,
+               sum(CASE WHEN stat > thr THEN 1 ELSE 0 END) AS n_drift
+        FROM st JOIN thrt ON thrt.tt = least(st.t, 19)
+        GROUP BY 1)
+SELECT 'cvm' AS detector, e.event_type AS event_type,
+       CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(n_drift, 0) AS BIGINT) AS n_drift
+FROM (SELECT DISTINCT event_type FROM events) e LEFT JOIN dec USING (event_type)
 """
 
     o["fet_online"] = """
