@@ -37,6 +37,7 @@ from alibi_detect_spark.operators.detect import (  # noqa: E402
     mmd_online_stats_over,
     score_rollup,
     seasonal_band_outliers,
+    trend_band_outliers,
 )
 from alibi_detect_spark.operators.encode import decode_pages, encode_pages  # noqa: E402
 from alibi_detect_spark.operators.gapfill import gapfill  # noqa: E402
@@ -362,6 +363,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     q["seasonal_bands"] = lambda s, sf: seasonal_band_outliers(
+        metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
+        "event_type",
+        "avg_value",
+    )
+    # OutlierProphet analog with the TREND component: two-segment OLS trend
+    # (midpoint changepoint) from exact moments + seasonal residual bands
+    q["trend_bands"] = lambda s, sf: trend_band_outliers(
         metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
         "event_type",
         "avg_value",
@@ -713,6 +721,43 @@ SELECT v.event_type AS event_type, v.bucket_ts AS bucket_ts, v.y AS avg_value,
        round(greatest(v.y - band_hi, band_lo - v.y), 6) + 0.0 AS season_score,
        CAST(greatest(v.y - band_hi, band_lo - v.y) > 0 AS INTEGER) AS is_outlier
 FROM v JOIN b ON v.event_type = b.event_type AND v.phase = b.phase
+"""
+
+    o["trend_bands"] = f"""
+WITH r AS ({_ROLLUP_1H}),
+s AS (SELECT event_type, bucket_ts, avg_value AS y,
+             row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn FROM r),
+nk AS (SELECT event_type, count(*) AS nk FROM s GROUP BY 1),
+b0 AS (SELECT s.event_type AS event_type, bucket_ts, y, rn,
+              CASE WHEN rn*2 > nk THEN 1 ELSE 0 END AS seg
+       FROM s JOIN nk USING (event_type)),
+mom AS (SELECT event_type, seg, count(*) AS ns,
+               sum(CAST(rn AS BIGINT)) AS sx,
+               sum(CAST(rn AS BIGINT)*CAST(rn AS BIGINT)) AS sxx,
+               sum(CAST(y AS DECIMAL(18,6))) AS sy,
+               sum(CAST(rn AS BIGINT)*CAST(y AS DECIMAL(18,6))) AS sxy
+        FROM b0 GROUP BY 1, 2),
+cf AS (SELECT event_type, seg, ns, sx, sy,
+              CASE WHEN ns*sxx - sx*sx = 0 THEN 0.0
+                   ELSE CAST(ns*sxy - sx*sy AS DOUBLE)/CAST(ns*sxx - sx*sx AS DOUBLE) END AS b
+       FROM mom),
+cf2 AS (SELECT event_type, seg, b,
+               (CAST(sy AS DOUBLE) - b*CAST(sx AS DOUBLE))/ns AS a FROM cf),
+dt AS (SELECT b0.event_type AS event_type, bucket_ts, y, rn,
+              a + b*rn AS trend,
+              round(y - (a + b*rn), 6) AS resid,
+              CAST(bucket_ts/3600 AS BIGINT) % 24 AS phase
+       FROM b0 JOIN cf2 ON cf2.event_type = b0.event_type AND cf2.seg = b0.seg),
+bd AS (SELECT event_type, phase,
+              round(quantile_cont(resid, 0.05), 6) AS band_lo,
+              round(quantile_cont(resid, 0.95), 6) AS band_hi
+       FROM dt GROUP BY 1, 2)
+SELECT dt.event_type AS event_type, dt.bucket_ts AS bucket_ts, dt.y AS avg_value,
+       round(dt.trend, 6) + 0.0 AS trend,
+       band_lo, band_hi,
+       round(greatest(resid - band_hi, band_lo - resid), 6) + 0.0 AS trend_score,
+       CAST(greatest(resid - band_hi, band_lo - resid) > 0 AS INTEGER) AS is_outlier
+FROM dt JOIN bd ON bd.event_type = dt.event_type AND bd.phase = dt.phase
 """
 
     _VDOT = "list_reduce(list_transform(generate_series(1,64), i -> {a}[i]*{b}[i]), (x,y) -> x+y)"

@@ -167,6 +167,45 @@ def test_gmm_2feat_deterministic_across_partitioning(spark):
     assert a == b  # quantized moments ⇒ bit-identical under any partitioning
 
 
+def test_trend_bands_detrends_and_flags_spikes(spark):
+    # od/prophet.py analog: a strongly trending series with 3 injected spikes
+    # — the trend+seasonal bands flag the spikes and NOT the trend extremes
+    # (a pure seasonal band would flag the series ends as "outliers")
+    from alibi_detect_spark.operators.detect import seasonal_band_outliers, trend_band_outliers
+
+    rng = np.random.default_rng(2)
+    rows = []
+    spike_ts = {400 * 3600, 401 * 3600, 402 * 3600}
+    for h in range(480):
+        ts = h * 3600
+        y = 0.5 * h + 5.0 * np.sin(2 * np.pi * (h % 24) / 24) + rng.normal(0, 0.3)
+        if ts in spike_ts:
+            y += 60.0
+        rows.append(("k", ts, round(float(y), 6)))
+    df = spark.createDataFrame(rows, "event_type string, bucket_ts long, avg_value double")
+    tb = {r["bucket_ts"]: r for r in trend_band_outliers(df, "event_type", "avg_value").collect()}
+    assert all(tb[t]["is_outlier"] == 1 for t in spike_ts)
+    # detrended: the spikes separate cleanly — every spike outscores every
+    # non-spike point
+    assert min(tb[t]["trend_score"] for t in spike_ts) > max(
+        r["trend_score"] for t, r in tb.items() if t not in spike_ts
+    )
+    # the fitted two-segment trend tracks the true 0.5/h slope: detrended
+    # non-spike residuals stay within the seasonal+noise amplitude
+    assert all(
+        abs(r["avg_value"] - r["trend"]) < 12.0 for t, r in tb.items() if t not in spike_ts
+    )
+    # and it strictly improves on the trendless seasonal baseline: under
+    # seasonal-only bands the worst non-spike scores are several× larger
+    sb = {
+        r["bucket_ts"]: r
+        for r in seasonal_band_outliers(df, "event_type", "avg_value").collect()
+    }
+    assert max(r["season_score"] for t, r in sb.items() if t not in spike_ts) > 2.0 * max(
+        r["trend_score"] for t, r in tb.items() if t not in spike_ts
+    )
+
+
 def test_pca2_topk_is_take_ordered(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     top = outlier.pca_outlier_2feat(
