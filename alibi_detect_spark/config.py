@@ -30,6 +30,7 @@ from .operators.detect import (
     mmd_online_stats_over,
     score_rollup,
     seasonal_band_outliers,
+    trend_band_outliers,
 )
 from .operators.gapfill import gapfill
 from .operators.rollup import (
@@ -56,8 +57,14 @@ REGISTRY: dict[str, Callable] = {
     "mahalanobis_online_over": mahalanobis_online_over,
     "mmd_online_stats_over": mmd_online_stats_over,
     "seasonal_band_outliers": seasonal_band_outliers,
+    "trend_band_outliers": trend_band_outliers,
     "classifier_drift_nb": classifier.classifier_drift_nb,
     "classifier_drift_lr": classifier.classifier_drift_lr,
+    "spot_the_diff_drift": classifier.spot_the_diff_drift,
+    "learned_kernel_drift_hash": drift.learned_kernel_drift_hash,
+    "lsdd_perm_test_hash": drift.lsdd_perm_test_hash,
+    "preprocess_drift_hashproj": drift.preprocess_drift_hashproj,
+    "gmm_outlier_2feat": outlier.gmm_outlier_2feat,
     "drift_corrections": drift.drift_corrections,
     "reservoir_sample": sample.reservoir_sample,
     "infer_threshold": outlier.infer_threshold,
@@ -153,16 +160,129 @@ def build(spec: dict) -> Callable[[object, DataFrame], DataFrame]:
     return run
 
 
+def _toml_value(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return json.dumps(v)  # JSON string escaping is valid TOML basic-string
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    raise ValueError(f"unsupported TOML value type {type(v).__name__}")
+
+
+def _toml_dumps(spec: dict) -> str:
+    """Minimal TOML emitter for the config-spec subset (scalars, lists, one
+    level of tables) — the on-disk format of the reference's saved detectors
+    (``saving/saving.py:35`` writes ``config.toml``)."""
+    lines, tables = [], []
+    for k, v in sorted(spec.items()):
+        if isinstance(v, dict):
+            tables.append((k, v))
+        else:
+            lines.append(f"{k} = {_toml_value(v)}")
+    for name, tbl in tables:
+        lines.append(f"\n[{name}]")
+        for k, v in sorted(tbl.items()):
+            if isinstance(v, dict):
+                raise ValueError("config specs nest at most one table level")
+            lines.append(f"{k} = {_toml_value(v)}")
+    return "\n".join(lines) + "\n"
+
+
+# reference detector class names (saving/schemas.py `name` field) → engine
+# operator kinds, for migrating saved reference configs
+REF_NAME_MAP = {
+    "KSDrift": "ks_2samp",
+    "CVMDrift": "cvm_2samp",
+    "ChiSquareDrift": "chi2_contingency",
+    "FETDrift": "fet_2samp",
+    "TabularDrift": "tabular_drift",
+    "MMDDrift": "mmd_perm_test_hash",
+    "LSDDDrift": "lsdd_perm_test_hash",
+    "ContextMMDDrift": "context_mmd_drift",
+    "ClassifierDrift": "classifier_drift_nb",
+    "SpotTheDiffDrift": "spot_the_diff_drift",
+    "LearnedKernelDrift": "learned_kernel_drift_hash",
+    "ClassifierUncertaintyDrift": "uncertainty_drift",
+    "RegressorUncertaintyDrift": "regressor_uncertainty_drift",
+    "MMDDriftOnline": "mmd_online_stats_over",
+    "CVMDriftOnline": "cvm_online_over",
+    "FETDriftOnline": "fet_online_over",
+    "LSDDDriftOnline": "lsdd_online_over",
+    "Mahalanobis": "mahalanobis_online_over",
+    "SpectralResidual": "score_rollup",
+    "OutlierProphet": "trend_band_outliers",
+}
+# reference-only config keys with no engine counterpart (artefact paths /
+# backend selection / significance applied by the caller) — dropped with a
+# report rather than failing the migration
+_REF_DROPPED_KEYS = {
+    "x_ref", "p_val", "backend", "preprocess_fn", "preprocess_at_init",
+    "x_ref_preprocessed", "input_shape", "data_type", "meta", "version",
+    "config_spec", "version_warning", "device", "kernel", "dataset",
+    "dataloader", "optimizer", "learning_rate", "batch_size", "epochs",
+    "verbose", "train_kwargs", "update_x_ref", "update_ref", "n_diffs",
+    "initial_diffs", "l1_reg", "binarize_preds", "train_size", "n_folds",
+    "retrain_from_scratch",
+}
+
+
+def from_reference_toml(cfg: dict) -> tuple[dict, dict]:
+    """Translate a parsed reference ``config.toml`` (``saving/loading.py:
+    77-118`` layout: top-level ``name`` = detector class + flat kwargs) into
+    an engine spec. Returns ``(spec, dropped)`` where ``dropped`` are the
+    reference kwargs with no engine counterpart — surfaced so a migrating
+    user sees exactly what the engine ignores instead of a silent rewrite."""
+    name = cfg.get("name")
+    if name not in REF_NAME_MAP:
+        raise ValueError(
+            f"unknown reference detector {name!r}; migratable: {sorted(REF_NAME_MAP)}"
+        )
+    kind = REF_NAME_MAP[name]
+    fn = ANN_REGISTRY.get(kind) or REGISTRY[kind]
+    allowed = set(inspect.signature(fn).parameters)
+    params, dropped = {}, {}
+    for k, v in cfg.items():
+        if k == "name":
+            continue
+        if k in allowed:
+            params[k] = v
+        else:
+            dropped[k] = v
+    return {"kind": kind, "params": params}, dropped
+
+
 def save_config(path: str, spec: dict) -> None:
-    """``save_detector`` analog: validate, then persist the declarative spec."""
+    """``save_detector`` analog: validate, then persist the declarative spec.
+    ``.toml`` paths use the reference's on-disk format family
+    (``saving/saving.py:35``); anything else is JSON."""
     validate(spec)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
-        json.dump(spec, f, indent=2, sort_keys=True)
+        if path.endswith(".toml"):
+            f.write(_toml_dumps(spec))
+        else:
+            json.dump(spec, f, indent=2, sort_keys=True)
 
 
 def load_config(path: str) -> Callable[[object, DataFrame], DataFrame]:
-    """``load_detector`` analog: read, validate, build."""
-    with open(path) as f:
-        spec = json.load(f)
+    """``load_detector`` analog: read, validate, build. ``.toml`` files are
+    parsed with stdlib ``tomllib`` and accept BOTH the engine spec layout
+    (``kind`` + ``[params]``) and the reference's saved-detector layout
+    (``name = "<DetectorClass>"`` + flat kwargs, translated via
+    :func:`from_reference_toml` — reference-only kwargs are dropped)."""
+    if path.endswith(".toml"):
+        import tomllib
+
+        with open(path, "rb") as f:
+            spec = tomllib.load(f)
+        if "kind" not in spec and "name" in spec:
+            spec, _dropped = from_reference_toml(spec)
+        # TOML has no tuple type; signatures with tuple defaults get lists —
+        # build() passes them through, operators normalize
+    else:
+        with open(path) as f:
+            spec = json.load(f)
     return build(spec)

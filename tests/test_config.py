@@ -51,3 +51,44 @@ def test_config_validation_errors():
         C.validate({"kind": "ks_2samp", "params": {"key": "a"}})
     with pytest.raises(ValueError, match="predicate"):
         C.validate({"kind": "cosine_topk", "params": {}})
+
+
+def test_config_toml_roundtrip_equals_json(spark, events, tmp_path):
+    spec = {"kind": "ks_2samp", "params": {"key": "event_type", "value": "value"}}
+    pj, pt = str(tmp_path / "det.json"), str(tmp_path / "det.toml")
+    C.save_config(pj, spec)
+    C.save_config(pt, spec)
+    a = C.load_config(pj)(spark, events).toPandas().sort_values("event_type").reset_index(drop=True)
+    b = C.load_config(pt)(spark, events).toPandas().sort_values("event_type").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_config_reference_toml_migration(spark, events, tmp_path):
+    # a reference-style saved detector (saving/loading.py:77-118 layout):
+    # name = detector class, flat kwargs, reference-only keys dropped
+    p = str(tmp_path / "config.toml")
+    with open(p, "w") as f:
+        f.write(
+            'name = "KSDrift"\n'
+            'x_ref = "x_ref.npy"\n'
+            "p_val = 0.05\n"
+            'key = "event_type"\n'
+            'value = "value"\n'
+        )
+    run = C.load_config(p)
+    out = run(spark, events).toPandas()
+    assert set(out.columns) >= {"event_type", "ks_stat", "p_value"}
+    assert len(out) > 0
+
+
+def test_config_reference_toml_reports_dropped():
+    spec, dropped = C.from_reference_toml(
+        {"name": "MMDDrift", "x_ref": "a.npy", "backend": "pytorch", "value": "value"}
+    )
+    assert spec["kind"] == "mmd_perm_test_hash"
+    assert set(dropped) == {"x_ref", "backend"}
+
+
+def test_config_reference_toml_unknown_detector():
+    with pytest.raises(ValueError, match="unknown reference detector"):
+        C.from_reference_toml({"name": "OutlierVAE"})
