@@ -268,7 +268,15 @@ def classifier_drift_lr(
     """LogisticRegression ClassifierDrift (the reference's default classifier
     family) with explicit leave-fold-out scoring. Deterministic given the
     data (L-BFGS from a fixed init, closed-form fold assignment), but not
-    SQL-expressible — rows-only driver check + behavioral pytest."""
+    SQL-expressible — rows-only driver check + behavioral pytest.
+
+    The K fold fits are independent Spark jobs and run CONCURRENTLY from a
+    driver thread pool (the FAIR-scheduler pattern for independent actions);
+    the assembled relation is localCheckpoint-ed, not cache()d, so the
+    materialized blocks are released when the result is dropped instead of
+    leaking in a long-lived session."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
@@ -280,13 +288,18 @@ def classifier_drift_lr(
         *[F.col(c).cast("double").alias(c) for c in num_cols],
     )
     asm = VectorAssembler(inputCols=list(num_cols), outputCol="features")
-    assembled = asm.transform(lab).cache()
-    parts = []
-    for f in range(n_folds):
+    assembled = asm.transform(lab).localCheckpoint()
+
+    def fit_fold(f: int):
         lr = LogisticRegression(
             featuresCol="features", labelCol="y", maxIter=max_iter, regParam=reg_param
         )
-        model = lr.fit(assembled.where(F.col("fold") != f))
+        return lr.fit(assembled.where(F.col("fold") != f))
+
+    with ThreadPoolExecutor(max_workers=n_folds) as pool:
+        models = list(pool.map(fit_fold, range(n_folds)))
+    parts = []
+    for f, model in enumerate(models):
         scored = model.transform(assembled.where(F.col("fold") == f))
         parts.append(
             scored.select(
