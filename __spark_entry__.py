@@ -489,7 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_clusters"] = lambda s, sf: dedup.dedup_clusters(
         dedup.minhash_lsh_pairs(_t(s, sf, "documents"), n=3, threshold=0.05)
     )
-    q["simhash"] = lambda s, sf: dedup.simhash32(_t(s, sf, "documents"))
+    # (the bare `simhash` projection query was pruned: dedup_simhash_pairs
+    # subsumes it — every fingerprint flows through the banded pair check)
     q["dedup_simhash_pairs"] = lambda s, sf: dedup.simhash_near_pairs(
         _t(s, sf, "documents"), max_hamming=3
     )
@@ -534,7 +535,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q1"] = tpch_q1
-    return q
+
+    # --- recording-window ordering -----------------------------------------
+    # The driver records the first ~50 queries per round. Front-load (1) this
+    # round's NEW queries, (2) queries whose code changed this round, (3)
+    # queries the r2 artifact never recorded, (4) rows-only queries — so
+    # every unproven claim gets a CORRECTNESS row. The tail (stable entries,
+    # hash-green in r1/r2 with code untouched since) may fall outside the
+    # window; their evidence chain is the prior rounds' artifacts.
+    priority = [
+        # new in round 3
+        "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
+        "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
+        # code changed in round 3
+        "pca_outlier_2d", "ann_ivf_build", "knn_outlier_predict",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
+        "dedup_simhash_pairs", "dedup_embedding_cosine", "classifier_drift_lr",
+        # green in r1 but absent from the r2 artifact
+        "ann_cosine_topk", "ann_ivf_topk", "lang_id", "quality_score",
+        "token_counts", "fingerprint", "tpch_q1",
+        # rows-only (weaker check — keep them recorded every round)
+        "lsdd_perm_test", "lsdd_online", "mahalanobis_online",
+        "context_mmd_drift", "iforest_outlier", "svm_outlier", "gmm_outlier",
+        "pca_outlier", "kpca_outlier", "online_decisions",
+    ]
+    assert all(name in q for name in priority), sorted(set(priority) - set(q))
+    ordered = {name: q[name] for name in priority}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 # ---------------------------------------------------------------------------
@@ -1653,8 +1681,6 @@ l2 AS ({_CC_ROUND.format(prev='l1')}),
 l3 AS ({_CC_ROUND.format(prev='l2')})
 SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INTEGER) AS is_survivor FROM l3
 """
-
-    o["simhash"] = _SIMHASH
 
     o["dedup_simhash_pairs"] = f"""
 WITH s AS ({_SIMHASH}),
