@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "mmd_drift",
     "mmd_perm_test",
     "lsdd_perm_test",
+    "lsdd_perm_hash",
+    "learned_kernel_drift",
+    "spot_the_diff",
+    "preproc_drift",
     "fet_drift",
     "tabular_drift",
     "uncertainty_drift",
@@ -49,6 +53,7 @@ BENCH_QUERIES = [
     "knn_ensemble",
     "pca_outlier",
     "gmm_outlier",
+    "gmm_outlier_2c",
     "lof_outlier",
     "kpca_outlier",
     "iforest_outlier",
@@ -60,6 +65,8 @@ BENCH_QUERIES = [
     "lsdd_online",
     "mahalanobis_online",
     "seasonal_bands",
+    "trend_bands",
+    "cvm_decisions",
     "dedup_exact_prefix",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
