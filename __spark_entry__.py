@@ -497,6 +497,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = lambda s, sf: dedup.embedding_near_pairs(
         _t(s, sf, "embeddings"), threshold=0.4
     )
+    # train/test decontamination: shingle overlap vs a benchmark slice
+    q["contamination_check"] = lambda s, sf: dedup.contamination_check(
+        _t(s, sf, "documents"), F.col("doc_id") % 10 == 0, n=3, threshold=0.5
+    )
+    # quality-weighted sampling (Efraimidis–Spirakis with md5 uniforms):
+    # weight = doc word count, so long docs are proportionally likelier
+    q["weighted_sample"] = lambda s, sf: sample.weighted_reservoir_sample(
+        _docs_ntok(s, sf), "doc_id", "n_tok", 100, keep_cols=["doc_id", "source"]
+    )
 
     # --- similarity search ------------------------------------------------
     q["ann_cosine_topk"] = lambda s, sf: ann.cosine_topk(
@@ -509,6 +518,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_build"] = lambda s, sf: ann.kmeans_cells(
         _t(s, sf, "embeddings"), n_cells=8, n_iter=2
     )
+
+    # --- multimodal binary columns -----------------------------------------
+    # documents' bytes as opaque payloads through the REAL decode→feature
+    # path (binary column, Arrow decode stage, segment-reduction features)
+    def media_features(s, sf):
+        from alibi_detect_spark.operators import multimodal
+
+        return multimodal.extract_features(
+            multimodal.media_from_documents(_t(s, sf, "documents"))
+        ).select("media_id", "mean_val", "std_val", "embedding")
+
+    q["media_features"] = media_features
 
     # --- text analysis ----------------------------------------------------
     q["lang_id"] = lambda s, sf: textstats.lang_id(_t(s, sf, "documents"))
@@ -547,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
+        "media_features", "contamination_check", "weighted_sample",
         # code changed in round 3
         "pca_outlier_2d", "ann_ivf_build", "knn_outlier_predict",
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
@@ -1692,6 +1714,50 @@ SELECT doc_a, doc_b,
        CAST(len(list_filter(generate_series(0,31), b -> (xor(xa, xb) >> b) & 1 = 1)) AS INTEGER) AS hamming
 FROM pairs
 WHERE len(list_filter(generate_series(0,31), b -> (xor(xa, xb) >> b) & 1 = 1)) <= 3
+"""
+
+    o["contamination_check"] = f"""
+WITH sh0 AS ({_SHINGLES}),
+sh AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle),1,15)) AS BIGINT) AS h60
+       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh0)),
+bench AS (SELECT DISTINCT h60 FROM sh WHERE doc_id % 10 = 0),
+cand AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY 1),
+m AS (SELECT doc_id, count(*) AS n_matched FROM cand
+      WHERE h60 IN (SELECT h60 FROM bench) GROUP BY 1)
+SELECT sizes.doc_id AS doc_id, n_shingles,
+       CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched,
+       round(coalesce(n_matched, 0) / n_shingles, 6) AS overlap,
+       CAST(coalesce(n_matched, 0) / n_shingles >= 0.5 AS INTEGER) AS is_contaminated
+FROM sizes LEFT JOIN m USING (doc_id)
+"""
+
+    o["weighted_sample"] = """
+WITH w AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok FROM documents),
+k AS (SELECT doc_id, source,
+             round(ln((CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) + 1.0)
+                      / 281474976710657.0) / CAST(n_tok AS DOUBLE), 9) AS sample_key
+      FROM w WHERE n_tok > 0)
+SELECT doc_id, source, sample_key FROM k ORDER BY sample_key DESC, doc_id LIMIT 100
+"""
+
+    # multimodal feature path: the fake decoder reads payload bytes as a
+    # uint8 tensor; ascii(text[i]) reproduces exactly that on the ASCII corpus
+    o["media_features"] = """
+WITH b AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS media_id, text,
+                  length(text) AS n FROM documents),
+agg AS (SELECT media_id, n,
+    list_sum(list_transform(generate_series(1, n), i -> ascii(text[i]))) AS s,
+    list_sum(list_transform(generate_series(1, n), i -> ascii(text[i])*ascii(text[i]))) AS ssq,
+    list_transform(generate_series(0, 15), j ->
+        fmod(CAST(coalesce(list_sum(list_transform(generate_series(1+j, n, 16),
+             i -> ascii(text[i]))), 0) AS DOUBLE), 997.0)) AS emb
+  FROM b)
+SELECT media_id,
+       round(CAST(s AS DOUBLE)/n, 6) AS mean_val,
+       round(sqrt(greatest(CAST(ssq AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n), 0.0)), 6) AS std_val,
+       emb AS embedding
+FROM agg
 """
 
     _STOP = "('the','a','an','and','of','to','in','is','it','on','for','with')"

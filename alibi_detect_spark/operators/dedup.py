@@ -286,6 +286,51 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_check(
+    docs: DataFrame,
+    bench_pred,
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every candidate (non-benchmark)
+    document, the fraction of its distinct word n-gram shingles that appear
+    ANYWHERE in the benchmark set — the standard train/test decontamination
+    recipe (GPT-3 App. C / PaLM use 8-13-grams; ``n`` is a knob, 3 here for
+    the short test corpus).
+
+    Plan shape (100 TB posture): one exploded-shingle pass over the corpus;
+    the benchmark shingle UNIVERSE is deduplicated and — a benchmark being
+    small by contract — broadcast into a LEFT SEMI join, so the corpus side
+    never shuffles for the match; per-doc overlap is one hash-aggregate.
+    Docs shorter than ``n`` words have no shingles and are not scored
+    (matching the SQL twin). Emits ``(doc_id, n_shingles, n_matched,
+    overlap, is_contaminated)``."""
+    sh = exploded_shingles(docs, text, n).select("doc_id", "h60")
+    bench_ids = docs.where(bench_pred).select("doc_id")
+    bench_sh = (
+        sh.join(F.broadcast(bench_ids), "doc_id", "left_semi").select("h60").distinct()
+    )
+    cand = sh.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+    sizes = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    matched = (
+        cand.join(F.broadcast(bench_sh), "h60", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    overlap = F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_shingles")
+    return (
+        sizes.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_matched"), F.lit(0).cast("long")).alias("n_matched"),
+            F.round(overlap, 6).alias("overlap"),
+            (overlap >= threshold).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame, n_iter: int = 3, a_col: str = "doc_a", b_col: str = "doc_b"
 ) -> DataFrame:

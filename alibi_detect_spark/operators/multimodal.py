@@ -112,6 +112,29 @@ def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     return spark.range(0, n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Reshape the driver's documents table into the MEDIA_SCHEMA: each doc's
+    UTF-8 bytes become an opaque binary payload with audio-typed metadata
+    (n_frames = byte count — the corpus is ASCII, so chars == bytes). This
+    exercises the REAL multimodal plumbing (binary column → fake decode →
+    segment-reduction features) on driver-provided data, making the whole
+    path oracle-checkable: the fake decoder reads the payload bytes as the
+    uint8 tensor, which the SQL twin reproduces with ``ascii(text[i])``."""
+    meta = F.struct(
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("channels"),
+        F.lit(16_000).cast("int").alias("sample_rate"),
+        F.length(text).cast("int").alias("n_frames"),
+    )
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.col(text).cast("binary").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """decode → per-item feature vector (mean/std/min/max + hash-projection
     embedding), one Arrow batch at a time. Emits fixed-width columns only —

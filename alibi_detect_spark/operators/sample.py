@@ -29,3 +29,42 @@ def reservoir_sample(
         .orderBy("priority")
         .limit(n)
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 42,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted-without-replacement sample (Efraimidis–Spirakis A-ES: keep
+    the ``n`` rows with the largest ``u^{1/w}``, u ~ U(0,1)) — the
+    quality-weighted sampling stage of a training-data pipeline (sample
+    documents proportionally to a quality score).
+
+    Deterministic/oracle-checkable twist: ``u`` is md5-derived (first 12 hex
+    chars → integer in (0, 2^48), identical in both engines) and the rank key
+    is ``ln(u)/w`` (monotone in ``u^{1/w}`` for w > 0), ROUNDED to 9dp before
+    ranking with ties broken by id — the repo's round-before-rank recipe, so
+    the selected set is identical in Spark and DuckDB despite ``ln`` being a
+    libm call. Plan: per-partition top-n + tiny merge
+    (``TakeOrderedAndProject``), no global sort — same shape as
+    :func:`reservoir_sample`."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(2**48 + 1))  # strictly inside (0, 1)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    cols = keep_cols if keep_cols is not None else [id_col]
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(*cols, key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), id_col)  # largest u^{1/w} win
+        .limit(n)
+    )

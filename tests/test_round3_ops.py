@@ -206,6 +206,38 @@ def test_trend_bands_detrends_and_flags_spikes(spark):
     )
 
 
+def test_contamination_check_flags_copies(spark):
+    from alibi_detect_spark.operators.dedup import contamination_check
+
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i}" for i in range(200)]
+    bench_text = " ".join(vocab[i % 200] for i in rng.integers(0, 200, 40))
+    rows = [(0, bench_text)]  # the benchmark doc (doc_id % 10 == 0)
+    rows.append((11, bench_text))  # verbatim copy — fully contaminated
+    rows.append((12, " ".join(f"fresh{i}" for i in range(40))))  # disjoint
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_check(df, F.col("doc_id") % 10 == 0).collect()}
+    assert 0 not in out  # benchmark docs are not scored
+    assert out[11]["overlap"] == 1.0 and out[11]["is_contaminated"] == 1
+    assert out[12]["overlap"] == 0.0 and out[12]["is_contaminated"] == 0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from alibi_detect_spark.operators.sample import weighted_reservoir_sample
+
+    # 500 rows of weight 1 + 100 rows of weight 50: the heavy rows should
+    # dominate a 100-row E-S sample (expected heavy share ≈ 5000/5500 ≈ 0.9)
+    rows = [(i, 1.0) for i in range(500)] + [(500 + i, 50.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, wt double")
+    got = weighted_reservoir_sample(df, "doc_id", "wt", 100).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r["doc_id"] >= 500)
+    assert heavy > 60
+    # deterministic: same call → same sample, under different partitioning
+    again = weighted_reservoir_sample(df.repartition(7), "doc_id", "wt", 100).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+
+
 def test_pca2_topk_is_take_ordered(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     top = outlier.pca_outlier_2feat(
