@@ -333,6 +333,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id",
         n_iter=2,
     )
+    # linear-AE analog (closed-form optimum = rank-k PCA reconstruction) with
+    # the reference's outlier_perc top-feature-error aggregation; rows-only
+    # (eigendecomposition), NumPy parity + behavioral pytest cover numerics
+    q["ae_outlier"] = lambda s, sf: outlier.ae_outlier_scores(
+        _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=4, outlier_perc=50.0
+    )
     q["lof_outlier"] = lambda s, sf: outlier.lof_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, k=10
     )
@@ -579,7 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (weaker check — keep them recorded every round)
         "lsdd_perm_test", "lsdd_online", "mahalanobis_online",
         "context_mmd_drift", "iforest_outlier", "svm_outlier", "gmm_outlier",
-        "pca_outlier", "kpca_outlier", "online_decisions",
+        "pca_outlier", "kpca_outlier", "online_decisions", "ae_outlier",
     ]
     assert all(name in q for name in priority), sorted(set(priority) - set(q))
     ordered = {name: q[name] for name in priority}

@@ -106,6 +106,7 @@ ANN_REGISTRY = {
     "lof_outlier_scores": outlier.lof_outlier_scores,
     "iforest_outlier_scores": outlier.iforest_outlier_scores,
     "svm_outlier_scores": outlier.svm_outlier_scores,
+    "ae_outlier_scores": outlier.ae_outlier_scores,
 }
 
 

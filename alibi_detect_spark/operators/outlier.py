@@ -325,6 +325,59 @@ def pca_outlier_2feat(
     )
 
 
+def ae_outlier_scores(
+    emb: DataFrame,
+    ref_pred,
+    n_components: int = 4,
+    outlier_perc: float = 100.0,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """OutlierAE analog (``alibi_detect/od/ae.py:14-260``): reconstruction-
+    error outlier scoring with FEATURE-LEVEL scores and the ``outlier_perc``
+    instance aggregation (``od/ae.py:181-208``: feature score =
+    ``(x − recon)²`` per dimension, instance score = mean of the top
+    ``outlier_perc``% feature errors).
+
+    The TF-trained encoder/decoder is out of this environment; the
+    encoder/decoder here is the CLOSED-FORM optimum of a *linear* AE — the
+    rank-k PCA projection (Baldi & Hornik 1989: a linear autoencoder's loss
+    minimum spans the top principal subspace): ``recon = mean +
+    P P'(x − mean)`` with ``P`` = top ``n_components`` eigenvectors of the
+    reference covariance. At ``outlier_perc=100`` the instance score equals
+    the off-subspace residual (== :func:`pca_outlier_scores` up to the 1/d
+    mean — asserted in tests); lower percentiles reproduce the reference's
+    top-feature-error aggregation that a plain PCA score cannot express.
+    Fit on the broadcast reference, one ``mapInPandas`` corpus scan."""
+    _, _, r = _collect_matrix(emb, ref_pred, id_col)
+    d = r.shape[1]
+    if n_components >= d:
+        raise ValueError("n_components must be less than the number of features")
+    mean = r.mean(axis=0)
+    rc = r - mean
+    cov = (rc.T @ rc) / (len(rc) - 1)
+    _, v = np.linalg.eigh(cov)  # ascending — principal dirs are the tail
+    pcs = v[:, -n_components:]
+    k_top = max(1, int(np.ceil(d * outlier_perc / 100.0)))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[EMB_COL].to_numpy()).astype(np.float64)
+            xc = x - mean
+            recon = (xc @ pcs) @ pcs.T
+            ferr = (xc - recon) ** 2  # feature-level scores, od/ae.py:181
+            top = np.sort(ferr, axis=1)[:, -k_top:]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "ae_score": np.round(top.mean(axis=1), 6),
+                }
+            )
+
+    return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, ae_score double")
+
+
 def gmm_outlier_2feat(
     df,
     cols: tuple[str, str],

@@ -238,6 +238,35 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
 
 
+def test_ae_outlier_equals_pca_at_full_perc(spark, sf_dir):
+    # linear-AE optimum == PCA: at outlier_perc=100 the AE instance score is
+    # the off-subspace residual / d (od/ae.py aggregation over all features)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = F.col("vec_id") % 5 == 0
+    ae = {r["vec_id"]: r["ae_score"] for r in outlier.ae_outlier_scores(
+        emb, pred, n_components=4, outlier_perc=100.0).collect()}
+    pca = {r["vec_id"]: r["pca_score"] for r in outlier.pca_outlier_scores(
+        emb, pred, n_components=4).collect()}
+    d = 64
+    assert all(abs(ae[k] * d - pca[k]) < 5e-4 * max(1.0, pca[k]) for k in ae)
+
+
+def test_ae_outlier_perc_flags_feature_spike(spark):
+    # a single-feature spike: with outlier_perc=10 (top ~2 of 16 features)
+    # the spiked rows outscore every clean row by construction
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(300):
+        v = rng.normal(0, 1, 16)
+        if i >= 290:
+            v[3] += 25.0
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["ae_score"] for r in outlier.ae_outlier_scores(
+        df, F.col("vec_id") < 290, n_components=2, outlier_perc=10.0).collect()}
+    assert min(out[k] for k in range(290, 300)) > max(out[k] for k in range(290))
+
+
 def test_pca2_topk_is_take_ordered(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     top = outlier.pca_outlier_2feat(
