@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
+    "contamination_check",
+    "weighted_sample",
+    "media_features",
+    "ae_outlier",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_build",

@@ -230,6 +230,51 @@ def main() -> None:
         "window here would sort every scored row on one partition.",
     )
 
+    # 6h. contamination check: benchmark shingle universe is a BROADCAST
+    #     semi-join — the corpus side never shuffles for the match
+    audit(
+        "contamination_check",
+        qs["contamination_check"](spark, SF),
+        requires=["BroadcastHashJoin"],
+        forbids=["SortMergeJoin", "CartesianProduct"],
+        note="Decontamination: candidate shingles semi-join the deduplicated "
+        "benchmark universe via broadcast (a benchmark is small by contract); "
+        "per-doc overlap is one hash-aggregate — the corpus shuffles only for "
+        "the per-doc counts.",
+    )
+
+    # 6i. weighted sampling: TakeOrderedAndProject, never a full sort
+    audit(
+        "weighted_sample",
+        qs["weighted_sample"](spark, SF),
+        requires=["TakeOrderedAndProject"],
+        forbids=["Exchange rangepartitioning"],
+        note="Efraimidis-Spirakis weighted sample = n largest u^(1/w) keys: "
+        "orderBy+limit compiles to per-partition top-n + tiny driver merge.",
+    )
+
+    # 6j. spot-the-diff / trend bands: tiny fitted relations broadcast back,
+    #     no sort-merge join anywhere
+    audit(
+        "spot_the_diff",
+        qs["spot_the_diff"](spark, SF),
+        requires=["BroadcastHashJoin", "HashAggregate"],
+        forbids=["SortMergeJoin", "CartesianProduct"],
+        note="SpotTheDiff: global moments and the per-fold ridge coefficient "
+        "table are 1-2-row relations broadcast onto the stream; the raw data "
+        "shuffles only for the final KS ECDF groupBy.",
+    )
+    audit(
+        "trend_bands",
+        qs["trend_bands"](spark, SF),
+        requires=["BroadcastHashJoin"],
+        forbids=["SortMergeJoin", "CartesianProduct"],
+        note="Trend bands: per-key counts and per-(key,segment) OLS "
+        "coefficients are tiny aggregates broadcast back; the only data "
+        "shuffles are the rank window and the per-(key,phase) percentile "
+        "groupBy.",
+    )
+
     # 7. dedup minhash: signature agg is partial+final (no raw-shingle shuffle
     #    of text), candidate join is an equi-join
     audit(
