@@ -37,6 +37,7 @@ from alibi_detect_spark.operators.detect import (  # noqa: E402
     mmd_online_stats_over,
     score_rollup,
     seasonal_band_outliers,
+    ssa_outlier_over,
     trend_band_outliers,
 )
 from alibi_detect_spark.operators.encode import decode_pages, encode_pages  # noqa: E402
@@ -373,6 +374,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type",
         "avg_value",
     )
+    # OutlierSeq2Seq analog: SSA windowed-reconstruction error per timestep
+    # (linear optimum of the seq2seq autoencoder; eigendecomposition → no
+    # SQL oracle, rows-only + behavioral pytest)
+    def ssa_outlier(s, sf):
+        r = metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h")
+        return ssa_outlier_over(
+            r.select("event_type", F.col("bucket_ts").cast("long").alias("seq"), "avg_value"),
+            "event_type",
+            "seq",
+            "avg_value",
+        ).where(fin("ssa_score"))
+
+    q["ssa_outlier"] = ssa_outlier
+
     # OutlierProphet analog with the TREND component: two-segment OLS trend
     # (midpoint changepoint) from exact moments + seasonal residual bands
     q["trend_bands"] = lambda s, sf: trend_band_outliers(
@@ -586,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsdd_perm_test", "lsdd_online", "mahalanobis_online",
         "context_mmd_drift", "iforest_outlier", "svm_outlier", "gmm_outlier",
         "pca_outlier", "kpca_outlier", "online_decisions", "ae_outlier",
+        "ssa_outlier",
     ]
     assert all(name in q for name in priority), sorted(set(priority) - set(q))
     ordered = {name: q[name] for name in priority}

@@ -173,6 +173,68 @@ def seasonal_band_outliers(
     )
 
 
+def ssa_outlier_over(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    window: int = 24,
+    rank: int = 3,
+    threshold_perc: float = 95.0,
+) -> DataFrame:
+    """OutlierSeq2Seq analog (``alibi_detect/od/seq2seq.py:15-330``): the
+    reference scores a series by sequence-to-sequence RECONSTRUCTION error
+    over fixed-length windows (shingles) with per-series thresholds
+    (``feature_score :199``, ``score :244``, threshold percentile
+    ``infer_threshold :91``). The Bi-LSTM is out of this environment; the
+    closed-form linear optimum of a windowed reconstruction autoencoder is
+    singular-spectrum analysis: embed the series in lag-``window`` space,
+    project onto the top-``rank`` principal directions of the trajectory
+    matrix, Hankelize (average the anti-diagonals) back to a reconstruction
+    x̂, and score ``(x − x̂)²`` per timestep; outlier = error above the
+    per-key ``threshold_perc`` percentile (the reference's
+    ``infer_threshold`` on the same batch).
+
+    Scale shape: one ordered ``applyInPandas`` per key (the series for one
+    source fits an executor by the rollup-tier contract); O(n·w) embedding +
+    one w×w eigendecomposition per key. Keys shorter than ``window+1``
+    points emit NaN scores (warm-up semantics, like the online detectors)."""
+    w = window
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value].to_numpy(dtype=np.float64)
+        n = len(x)
+        out = pd.DataFrame({key: pdf[key].to_numpy(), order_col: pdf[order_col].to_numpy()})
+        if n < w + 1:
+            out["recon"] = np.nan
+            out["ssa_score"] = np.nan
+            out["is_outlier"] = np.int32(0)
+            return out
+        h = np.lib.stride_tricks.sliding_window_view(x, w)  # [n-w+1, w]
+        mu = h.mean(axis=0)
+        hc = h - mu
+        cov = (hc.T @ hc) / len(hc)
+        _, v = np.linalg.eigh(cov)
+        p = v[:, -rank:]
+        r = mu + (hc @ p) @ p.T
+        xhat = np.zeros(n)
+        cnt = np.zeros(n)
+        idx = (np.arange(len(h))[:, None] + np.arange(w)[None, :]).ravel()
+        np.add.at(xhat, idx, r.ravel())
+        np.add.at(cnt, idx, 1.0)
+        xhat /= cnt
+        e = (x - xhat) ** 2
+        thr = float(np.percentile(e, threshold_perc))
+        out["recon"] = np.round(xhat, 6)
+        out["ssa_score"] = np.round(e, 6)
+        out["is_outlier"] = (e > thr).astype(np.int32)
+        return out
+
+    schema = f"{key} string, {order_col} long, recon double, ssa_score double, is_outlier int"
+    return df.select(key, order_col, value).groupBy(key).applyInPandas(fn, schema=schema)
+
+
 def trend_band_outliers(
     rollup: DataFrame,
     key: str,

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "mahalanobis_online",
     "seasonal_bands",
     "trend_bands",
+    "ssa_outlier",
     "cvm_decisions",
     "dedup_exact_prefix",
     "dedup_ngram_jaccard",

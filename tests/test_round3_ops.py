@@ -206,6 +206,39 @@ def test_trend_bands_detrends_and_flags_spikes(spark):
     )
 
 
+def test_ssa_outlier_detects_injected_points(spark):
+    # od/tests/test_seq2seq.py contract: perturbed points detected, clean
+    # signal mostly quiet — on the reference's own sinusoid fixture shape
+    from alibi_detect_spark.operators.detect import ssa_outlier_over
+
+    t = np.arange(1000)
+    x = np.sin(40 * 2 * np.pi * t / 1000) + 0.5 * np.sin(90 * 2 * np.pi * t / 1000)
+    perturbed = set(range(100, 1000, 100))
+    xp = x.copy()
+    for i in perturbed:
+        xp[i] = 10.0
+    rows = [("k", int(i), float(v)) for i, v in enumerate(xp)]
+    df = spark.createDataFrame(rows, "source string, seq long, v double")
+    out = {r["seq"]: r for r in ssa_outlier_over(df, "source", "seq", "v").collect()}
+    hits = sum(out[i]["is_outlier"] for i in perturbed)
+    assert hits >= 8  # ≥8/9 injected points flagged
+    false_pos = sum(r["is_outlier"] for s, r in out.items() if s not in perturbed)
+    # threshold is the 95th percentile → ~5% of 1000 flags by construction;
+    # the injected points must dominate the score ranking
+    top10 = sorted(out.values(), key=lambda r: -(r["ssa_score"] or 0))[:10]
+    assert sum(1 for r in top10 if r["seq"] in perturbed) >= 8
+    assert false_pos <= 60
+
+
+def test_ssa_outlier_short_series_warmup(spark):
+    from alibi_detect_spark.operators.detect import ssa_outlier_over
+
+    rows = [("k", i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, seq long, v double")
+    out = ssa_outlier_over(df, "source", "seq", "v", window=24).collect()
+    assert len(out) == 10 and all(r["is_outlier"] == 0 for r in out)
+
+
 def test_contamination_check_flags_copies(spark):
     from alibi_detect_spark.operators.dedup import contamination_check
 
