@@ -24,6 +24,7 @@ from alibi_detect_spark.operators import (  # noqa: E402
     classifier,
     dedup,
     drift,
+    llr,
     outlier,
     sample,
     textstats,
@@ -334,6 +335,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id",
         n_iter=2,
     )
+    # LLR outlier analog (od/llr.py): semantic Gaussian model on raw features
+    # vs background model on md5-mutated features; score = negative LLR.
+    # Closed-form fits from exact DECIMAL moments → fully hash-checkable.
+    q["llr_outlier"] = lambda s, sf: llr.llr_outlier_2feat(
+        _t(s, sf, "events").withColumn("u", (F.col("user_id") % 100).cast("double")),
+        ("value", "u"),
+        "event_id",
+    )
     # linear-AE analog (closed-form optimum = rank-k PCA reconstruction) with
     # the reference's outlier_perc top-feature-error aggregation; rows-only
     # (eigendecomposition), NumPy parity + behavioral pytest cover numerics
@@ -587,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window; their evidence chain is the prior rounds' artifacts.
     priority = [
         # new in round 3
+        "llr_outlier",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -1654,6 +1664,54 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
         "WITH " + ",\n".join(_gmm_ctes) + "\n"
         "SELECT event_id, round(-(mx + ln(exp(ld0-mx)+exp(ld1-mx))), 6) + 0.0 AS gmm_nll FROM sc"
     )
+
+    # LLR: semantic Gaussian fit on raw features, background fit on the
+    # md5-mutated copies — expression trees mirror llr.llr_outlier_2feat
+    # term-for-term (same association order, same literals)
+    def _mut(tag, col, lo, hi):
+        key = f"CAST(event_id AS VARCHAR)||':{tag}'"
+        return (
+            f"CASE WHEN CAST(('0x'||substr(md5({key}),1,4)) AS BIGINT) % 100 < 20 "
+            f"THEN round({lo} + CAST(CAST(('0x'||substr(md5({key}),5,8)) AS BIGINT) % 1000000 AS DOUBLE)"
+            f"/1000000.0*({hi} - {lo}), 4) ELSE round({col}, 4) END"
+        )
+
+    def _nll(raw, fit):
+        return (
+            f"(0.5*ln(2*pi()*va_{fit}) + ({raw} - m_{fit})*({raw} - m_{fit})/(2.0*va_{fit}))"
+        )
+
+    _llr_moms = ",\n  ".join(
+        f"CAST(sum(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS s_{c},\n  "
+        f"CAST(sum(CAST({c} AS DECIMAL(18,4))*CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS ss_{c}"
+        for c in ("v", "u", "vb", "ub")
+    )
+    _llr_pars = ",\n  ".join(
+        f"s_{c}/n AS m_{c}, (ss_{c}/n - (s_{c}/n)*(s_{c}/n)) + 1e-9 AS va_{c}"
+        for c in ("v", "u", "vb", "ub")
+    )
+    o["llr_outlier"] = f"""
+WITH base AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
+                     CAST(user_id % 100 AS DOUBLE) AS u FROM events),
+rng AS (SELECT min(v) AS vmin, max(v) AS vmax, min(u) AS umin, max(u) AS umax FROM base),
+wide AS (SELECT event_id, v, u,
+  {_mut('f0', 'v', 'vmin', 'vmax')} AS vb,
+  {_mut('f1', 'u', 'umin', 'umax')} AS ub
+  FROM base CROSS JOIN rng),
+mom AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+  {_llr_moms}
+  FROM wide),
+par AS (SELECT
+  {_llr_pars}
+  FROM mom),
+sc AS (SELECT event_id,
+  round((({_nll('v', 'v')} - {_nll('v', 'vb')})
+       + ({_nll('u', 'u')} - {_nll('u', 'ub')})) / 2.0, 6) + 0.0 AS llr_score
+  FROM wide CROSS JOIN par)
+SELECT event_id, llr_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY llr_score DESC, event_id) AS rk FROM sc)
+WHERE rk <= 100
+"""
 
     o["dedup_exact_prefix"] = """
 SELECT md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS content_hash,
