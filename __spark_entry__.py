@@ -335,6 +335,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id",
         n_iter=2,
     )
+    # OutlierVAE analog (od/vae.py): closed-form probabilistic-PCA fit, score
+    # = exact expectation of the MC-averaged squared reconstruction error.
+    q["vae_outlier_2d"] = lambda s, sf: outlier.vae_outlier_2feat(
+        _t(s, sf, "events").withColumn("u", (F.col("user_id") % 100).cast("double")),
+        ("value", "u"),
+        "event_id",
+    )
     # LLR outlier analog (od/llr.py): semantic Gaussian model on raw features
     # vs background model on md5-mutated features; score = negative LLR.
     # Closed-form fits from exact DECIMAL moments → fully hash-checkable.
@@ -596,7 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window; their evidence chain is the prior rounds' artifacts.
     priority = [
         # new in round 3
-        "llr_outlier",
+        "llr_outlier", "vae_outlier_2d",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -1710,6 +1717,45 @@ sc AS (SELECT event_id,
   FROM wide CROSS JOIN par)
 SELECT event_id, llr_score, CAST(rk AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (ORDER BY llr_score DESC, event_id) AS rk FROM sc)
+WHERE rk <= 100
+"""
+
+    # pPCA/VAE: parameters and the analytic expected-reconstruction-error
+    # mirror outlier.vae_outlier_2feat term-for-term
+    o["vae_outlier_2d"] = """
+WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))*CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx_r,
+                   CAST(sum(CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(18,4))*CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS syy_r,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))*CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sxy_r
+            FROM events),
+mo AS (SELECT sx/n AS mx, sy/n AS my,
+              sxx_r/n - (sx/n)*(sx/n) AS a,
+              syy_r/n - (sy/n)*(sy/n) AS b,
+              sxy_r/n - (sx/n)*(sy/n) AS c
+       FROM st),
+pp1 AS (SELECT mx, my, a, c,
+        (a + b - sqrt((a-b)*(a-b) + 4.0*c*c)) / 2.0 + 1e-9 AS sig2,
+        (a + b + sqrt((a-b)*(a-b) + 4.0*c*c)) / 2.0 AS lamp
+        FROM mo),
+pp2 AS (SELECT mx, my, sig2,
+        c / sqrt(c*c + (lamp - a)*(lamp - a)) * sqrt(greatest(lamp - sig2, 0.0)) AS w1,
+        (lamp - a) / sqrt(c*c + (lamp - a)*(lamp - a)) * sqrt(greatest(lamp - sig2, 0.0)) AS w2,
+        greatest(lamp - sig2, 0.0) + sig2 AS m_cap
+        FROM pp1),
+sc0 AS (SELECT event_id,
+        CAST(value AS DOUBLE) - mx AS dx,
+        CAST(user_id % 100 AS DOUBLE) - my AS dy,
+        w1, w2, sig2, m_cap
+        FROM events CROSS JOIN pp2),
+sc1 AS (SELECT *, (w1*dx + w2*dy)/m_cap AS mz FROM sc0),
+sc AS (SELECT event_id,
+       round(((dx - w1*mz)*(dx - w1*mz) + w1*w1*(sig2/m_cap)
+             + ((dy - w2*mz)*(dy - w2*mz) + w2*w2*(sig2/m_cap))) / 2.0, 6) + 0.0 AS vae_score
+       FROM sc1)
+SELECT event_id, vae_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY vae_score DESC, event_id) AS rk FROM sc)
 WHERE rk <= 100
 """
 

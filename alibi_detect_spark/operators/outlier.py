@@ -325,6 +325,85 @@ def pca_outlier_2feat(
     )
 
 
+def vae_outlier_2feat(
+    df, cols: tuple[str, str], id_col: str, top_k: int = 100, eps: float = 1e-9
+):
+    """OutlierVAE analog (``alibi_detect/od/vae.py:16-299``) over TWO features
+    with a CLOSED-FORM probabilistic-PCA fit — the hash-checkable instance of
+    VAE reconstruction scoring. A *linear* VAE's global optimum recovers
+    probabilistic PCA (Lucas et al. 2019, "Don't Blame the ELBO"): with k=1
+    latent and d=2 the ML solution is fully closed form (Tipping & Bishop
+    1999): ``σ² = λ₋`` (the discarded eigenvalue), ``W = v̂₊·sqrt(λ₊ − σ²)``,
+    posterior ``q(z|x) = N(Wᵀ(x−μ)/M, σ²/M)`` with ``M = WᵀW + σ²``.
+
+    The reference scores by Monte-Carlo averaging squared reconstruction
+    error over latent samples (``od/vae.py:237-245``); the analog computes
+    that average's EXACT expectation analytically:
+    ``E[(x_f − μ_f − W_f z)²] = (x_f − μ_f − W_f m_z)² + W_f²·σ²/M``
+    per feature, instance score = feature mean (``outlier_perc=100``).
+    Deterministic → no RNG to reconcile, and every term is mirrored in the
+    DuckDB oracle.
+
+    Plan: one partial+final DECIMAL moment aggregate, broadcast of the 1-row
+    parameter relation, codegen column math, ``TakeOrderedAndProject`` top-k
+    (same shape as :func:`pca_outlier_2feat`)."""
+    from pyspark.sql import Window, functions as F
+
+    x, y = cols
+    dx_in = F.col(x).cast("decimal(18,4)")
+    dy_in = F.col(y).cast("decimal(18,4)")
+    mo = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx_in).cast("double").alias("sx"),
+        F.sum(dy_in).cast("double").alias("sy"),
+        F.sum(dx_in * dx_in).cast("double").alias("sxx_r"),
+        F.sum(dy_in * dy_in).cast("double").alias("syy_r"),
+        F.sum(dx_in * dy_in).cast("double").alias("sxy_r"),
+    ).select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sxx_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("a"),
+        (F.col("syy_r") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("b"),
+        (F.col("sxy_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("c"),
+    )
+    disc = F.sqrt(
+        (F.col("a") - F.col("b")) * (F.col("a") - F.col("b")) + F.lit(4.0) * F.col("c") * F.col("c")
+    )
+    par = mo.select(
+        "mx",
+        "my",
+        "a",
+        "c",
+        ((F.col("a") + F.col("b") - disc) / F.lit(2.0) + F.lit(eps)).alias("sig2"),
+        ((F.col("a") + F.col("b") + disc) / F.lit(2.0)).alias("lamp"),
+    ).select(
+        "mx",
+        "my",
+        "sig2",
+        # unit major eigvec scaled by sqrt(λ₊ − σ²) — the pPCA loading W
+        (F.col("c") / F.sqrt(F.col("c") * F.col("c") + (F.col("lamp") - F.col("a")) * (F.col("lamp") - F.col("a")))
+         * F.sqrt(F.greatest(F.col("lamp") - F.col("sig2"), F.lit(0.0)))).alias("w1"),
+        ((F.col("lamp") - F.col("a")) / F.sqrt(F.col("c") * F.col("c") + (F.col("lamp") - F.col("a")) * (F.col("lamp") - F.col("a")))
+         * F.sqrt(F.greatest(F.col("lamp") - F.col("sig2"), F.lit(0.0)))).alias("w2"),
+        (F.greatest(F.col("lamp") - F.col("sig2"), F.lit(0.0)) + F.col("sig2")).alias("m_cap"),
+    )
+    j = df.crossJoin(F.broadcast(par))
+    dx = F.col(x).cast("double") - F.col("mx")
+    dy = F.col(y).cast("double") - F.col("my")
+    mz = (F.col("w1") * dx + F.col("w2") * dy) / F.col("m_cap")
+    pv = F.col("sig2") / F.col("m_cap")
+    e1 = (dx - F.col("w1") * mz) * (dx - F.col("w1") * mz) + F.col("w1") * F.col("w1") * pv
+    e2 = (dy - F.col("w2") * mz) * (dy - F.col("w2") * mz) + F.col("w2") * F.col("w2") * pv
+    score = (e1 + e2) / F.lit(2.0)
+    scored = j.select(id_col, (F.round(score, 6) + F.lit(0.0)).alias("vae_score"))
+    order = [F.col("vae_score").desc(), F.col(id_col)]
+    top = scored.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "vae_score", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def ae_outlier_scores(
     emb: DataFrame,
     ref_pred,

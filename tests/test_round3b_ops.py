@@ -31,6 +31,48 @@ def test_llr_flags_ood(spark):
     assert [r["rank"] for r in top] == list(range(1, 21))
 
 
+def test_vae_ppca_matches_numpy_twin(spark):
+    """vae_outlier_2feat == the analytic pPCA expectation computed in NumPy
+    (same closed forms, 6dp)."""
+    from alibi_detect_spark.operators.outlier import vae_outlier_2feat
+
+    rng = np.random.default_rng(3)
+    t = rng.normal(0, 4.0, 600)
+    v = 10.0 + t + rng.normal(0, 0.3, 600)
+    u = 5.0 + 0.5 * t + rng.normal(0, 0.3, 600)
+    # a few points far OFF the principal axis
+    v[:4] += 12.0
+    u[:4] -= 9.0
+    rows = [(int(i), float(v[i]), float(u[i])) for i in range(600)]
+    df = spark.createDataFrame(rows, "event_id long, v double, u double")
+    got = {r["event_id"]: r["vae_score"] for r in
+           vae_outlier_2feat(df, ("v", "u"), "event_id", top_k=50).collect()}
+    assert set(range(4)) <= set(list(got)[:10])
+
+    # NumPy twin (float64 closed forms; decimal-quantized moments as in-engine)
+    vq = np.round(v, 4)
+    uq = np.round(u, 4)
+    n = len(vq)
+    mx, my = vq.sum() / n, uq.sum() / n
+    a = (vq * vq).sum() / n - mx * mx
+    b = (uq * uq).sum() / n - my * my
+    c = (vq * uq).sum() / n - mx * my
+    disc = np.sqrt((a - b) ** 2 + 4.0 * c * c)
+    sig2 = (a + b - disc) / 2.0 + 1e-9
+    lamp = (a + b + disc) / 2.0
+    nrm = np.sqrt(c * c + (lamp - a) ** 2)
+    g = max(lamp - sig2, 0.0)
+    w1, w2 = c / nrm * np.sqrt(g), (lamp - a) / nrm * np.sqrt(g)
+    m_cap = g + sig2
+    dx, dy = v - mx, u - my
+    mz = (w1 * dx + w2 * dy) / m_cap
+    e1 = (dx - w1 * mz) ** 2 + w1 * w1 * (sig2 / m_cap)
+    e2 = (dy - w2 * mz) ** 2 + w2 * w2 * (sig2 / m_cap)
+    exp_score = np.round((e1 + e2) / 2.0, 6)
+    for eid, s in got.items():
+        assert abs(s - exp_score[eid]) < 2e-6, (eid, s, exp_score[eid])
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""
