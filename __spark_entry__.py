@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from alibi_detect_spark.operators import (  # noqa: E402
+    adversarial,
     ann,
     classifier,
     dedup,
@@ -335,6 +336,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id",
         n_iter=2,
     )
+    def _events_vu_lab(s, sf):
+        return (
+            _t(s, sf, "events")
+            .withColumn("u", (F.col("user_id") % 100).cast("double"))
+            .withColumn("is_ui", F.col("event_type").isin("click", "view").cast("long"))
+        )
+
+    # AdversarialAE analog (ad/adversarialae.py): KL between the NB head's
+    # temperature-sharpened prediction on x and on the rank-1 PCA
+    # reconstruction of x — closed forms end to end, hash-checkable.
+    q["adversarial_ae"] = lambda s, sf: adversarial.adversarial_ae_2feat(
+        _events_vu_lab(s, sf), ("value", "u"), "is_ui", "event_id"
+    )
+    # ModelDistillation analog (ad/model_distillation.py): KL between the NB
+    # teacher and a ridge-distilled single-feature student (quantized exact
+    # normal equations).
+    q["model_distillation"] = lambda s, sf: adversarial.model_distillation_2feat(
+        _events_vu_lab(s, sf), ("value", "u"), "is_ui", "event_id"
+    )
     # OutlierVAE analog (od/vae.py): closed-form probabilistic-PCA fit, score
     # = exact expectation of the MC-averaged squared reconstruction error.
     q["vae_outlier_2d"] = lambda s, sf: outlier.vae_outlier_2feat(
@@ -603,7 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window; their evidence chain is the prior rounds' artifacts.
     priority = [
         # new in round 3
-        "llr_outlier", "vae_outlier_2d",
+        "llr_outlier", "vae_outlier_2d", "adversarial_ae", "model_distillation",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -1717,6 +1737,115 @@ sc AS (SELECT event_id,
   FROM wide CROSS JOIN par)
 SELECT event_id, llr_score, CAST(rk AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (ORDER BY llr_score DESC, event_id) AS rk FROM sc)
+WHERE rk <= 100
+"""
+
+    # Adversarial family: NB head + PCA reconstruction / ridge-distilled
+    # student — expression trees mirror operators/adversarial.py
+    # term-for-term (clamp literals via repr round-trip)
+    _ADV_BASE = """base AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
+                     CAST(user_id % 100 AS DOUBLE) AS u,
+                     CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END AS y
+              FROM events),
+per AS (SELECT y, count(*) AS cnt,
+               sum(CAST(v AS DECIMAL(18,4))) AS sv,
+               sum(CAST(v AS DECIMAL(18,4))*CAST(v AS DECIMAL(18,4))) AS svv,
+               sum(CAST(u AS DECIMAL(18,4))) AS su,
+               sum(CAST(u AS DECIMAL(18,4))*CAST(u AS DECIMAL(18,4))) AS suu
+        FROM base GROUP BY 1),
+nbw AS (SELECT
+        CAST(max(CASE WHEN y=0 THEN cnt END) AS DOUBLE) AS cnt_0,
+        CAST(max(CASE WHEN y=0 THEN sv END) AS DOUBLE) AS sv_0,
+        CAST(max(CASE WHEN y=0 THEN svv END) AS DOUBLE) AS svv_0,
+        CAST(max(CASE WHEN y=0 THEN su END) AS DOUBLE) AS su_0,
+        CAST(max(CASE WHEN y=0 THEN suu END) AS DOUBLE) AS suu_0,
+        CAST(max(CASE WHEN y=1 THEN cnt END) AS DOUBLE) AS cnt_1,
+        CAST(max(CASE WHEN y=1 THEN sv END) AS DOUBLE) AS sv_1,
+        CAST(max(CASE WHEN y=1 THEN svv END) AS DOUBLE) AS svv_1,
+        CAST(max(CASE WHEN y=1 THEN su END) AS DOUBLE) AS su_1,
+        CAST(max(CASE WHEN y=1 THEN suu END) AS DOUBLE) AS suu_1
+        FROM per),
+nbm AS (SELECT cnt_0, cnt_1,
+        sv_0/cnt_0 AS mv_0, (svv_0/cnt_0 - (sv_0/cnt_0)*(sv_0/cnt_0)) + 1e-9 AS varv_0,
+        su_0/cnt_0 AS mu_0, (suu_0/cnt_0 - (su_0/cnt_0)*(su_0/cnt_0)) + 1e-9 AS varu_0,
+        sv_1/cnt_1 AS mv_1, (svv_1/cnt_1 - (sv_1/cnt_1)*(sv_1/cnt_1)) + 1e-9 AS varv_1,
+        su_1/cnt_1 AS mu_1, (suu_1/cnt_1 - (su_1/cnt_1)*(su_1/cnt_1)) + 1e-9 AS varu_1
+        FROM nbw)"""
+
+    def _adv_ll(vc, uc, k):
+        return (
+            f"(-0.5*ln(2*pi()*varv_{k}) - ({vc}-mv_{k})*({vc}-mv_{k})/(2.0*varv_{k})"
+            f" - 0.5*ln(2*pi()*varu_{k}) - ({uc}-mu_{k})*({uc}-mu_{k})/(2.0*varu_{k})"
+            f" + ln(cnt_{k}/(cnt_0+cnt_1)))"
+        )
+
+    def _adv_p1(vc, uc):
+        return (
+            f"least(greatest(1.0/(1.0 + exp({_adv_ll(vc, uc, 0)} - {_adv_ll(vc, uc, 1)})),"
+            f" 1e-12), {1.0 - 1e-12!r})"
+        )
+
+    o["adversarial_ae"] = f"""
+WITH {_ADV_BASE},
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+              CAST(sum(CAST(u AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+              CAST(sum(CAST(v AS DECIMAL(18,4))*CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sxx_r,
+              CAST(sum(CAST(u AS DECIMAL(18,4))*CAST(u AS DECIMAL(18,4))) AS DOUBLE) AS syy_r,
+              CAST(sum(CAST(v AS DECIMAL(18,4))*CAST(u AS DECIMAL(18,4))) AS DOUBLE) AS sxy_r
+       FROM base),
+mo AS (SELECT sx/n AS mx, sy/n AS my,
+              sxx_r/n - (sx/n)*(sx/n) AS a,
+              syy_r/n - (sy/n)*(sy/n) AS b,
+              sxy_r/n - (sx/n)*(sy/n) AS c
+       FROM st),
+rp0 AS (SELECT mx, my, a, c,
+        (a + b + sqrt((a-b)*(a-b) + 4.0*c*c)) / 2.0 AS lamp FROM mo),
+rp AS (SELECT mx, my, c AS w1, lamp - a AS w2,
+       c*c + (lamp - a)*(lamp - a) AS nrm2 FROM rp0),
+sc0 AS (SELECT event_id, v, u,
+        mx + ((v - mx)*w1 + (u - my)*w2)*w1/nrm2 AS rv,
+        my + ((v - mx)*w1 + (u - my)*w2)*w2/nrm2 AS ru,
+        cnt_0, cnt_1, mv_0, varv_0, mu_0, varu_0, mv_1, varv_1, mu_1, varu_1
+        FROM base CROSS JOIN nbm CROSS JOIN rp),
+sc1 AS (SELECT event_id,
+        {_adv_p1('v', 'u')} AS p1,
+        {_adv_p1('rv', 'ru')} AS r1
+        FROM sc0),
+sc2 AS (SELECT event_id,
+        (p1*p1)/(p1*p1 + (1.0 - p1)*(1.0 - p1)) AS t1, r1 FROM sc1),
+sc AS (SELECT event_id,
+       round((1.0 - t1)*ln((1.0 - t1)/(1.0 - r1)) + t1*ln(t1/r1), 6) + 0.0 AS adv_score
+       FROM sc2)
+SELECT event_id, adv_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY adv_score DESC, event_id) AS rk FROM sc)
+WHERE rk <= 100
+"""
+
+    o["model_distillation"] = f"""
+WITH {_ADV_BASE},
+wp AS (SELECT event_id, v, {_adv_p1('v', 'u')} AS p1 FROM base CROSS JOIN nbm),
+qz AS (SELECT event_id, v, p1,
+       CAST(round(v*10000) AS BIGINT) AS vq,
+       CAST(round(p1*1000000000) AS BIGINT) AS pq FROM wp),
+mom AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(vq) AS DOUBLE)/10000.0 AS sv,
+        CAST(sum(vq*vq) AS DOUBLE)/100000000.0 AS svv,
+        CAST(sum(pq) AS DOUBLE)/1000000000.0 AS sp,
+        CAST(sum(vq*pq) AS DOUBLE)/10000000000000.0 AS svp
+        FROM qz),
+coef AS (SELECT
+         ((svv + 1.0)*sp - sv*svp)/((n + 1.0)*(svv + 1.0) - sv*sv) AS b0,
+         ((n + 1.0)*svp - sv*sp)/((n + 1.0)*(svv + 1.0) - sv*sv) AS b1
+         FROM mom),
+sc0 AS (SELECT event_id, p1,
+        least(greatest(b0 + b1*v, 1e-6), 0.999999) AS yh
+        FROM qz CROSS JOIN coef),
+sc AS (SELECT event_id,
+       round((1.0 - p1)*ln((1.0 - p1)/(1.0 - yh)) + p1*ln(p1/yh), 6) + 0.0 AS distill_score
+       FROM sc0)
+SELECT event_id, distill_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY distill_score DESC, event_id) AS rk FROM sc)
 WHERE rk <= 100
 """
 

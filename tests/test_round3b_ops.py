@@ -73,6 +73,48 @@ def test_vae_ppca_matches_numpy_twin(spark):
         assert abs(s - exp_score[eid]) < 2e-6, (eid, s, exp_score[eid])
 
 
+def _manifold_with_adv(spark, n: int = 1500, n_adv: int = 6, seed: int = 5):
+    """Data on a 1-d manifold (u ≈ 0.8·v) with label y = v > 50; the first
+    ``n_adv`` rows are off-manifold instances whose rank-1 reconstruction
+    moves them across the class boundary."""
+    rng = np.random.default_rng(seed)
+    v = rng.uniform(0.0, 100.0, n)
+    u = 0.8 * v + rng.normal(0, 1.5, n)
+    y = (v > 50.0).astype(int)
+    # adversarial: v just below the boundary, u pushed far off-manifold high
+    v[:n_adv] = rng.uniform(40.0, 48.0, n_adv)
+    u[:n_adv] = rng.uniform(150.0, 170.0, n_adv)
+    y[:n_adv] = 0
+    rows = [(int(i), float(v[i]), float(u[i]), int(y[i])) for i in range(n)]
+    return spark.createDataFrame(rows, "event_id long, v double, u double, y long")
+
+
+def test_adversarial_ae_flags_off_manifold(spark):
+    """ad/adversarialae.py contract: instances whose reconstruction flips the
+    classifier's prediction get the top KL scores."""
+    from alibi_detect_spark.operators.adversarial import adversarial_ae_2feat
+
+    df = _manifold_with_adv(spark)
+    top = adversarial_ae_2feat(df, ("v", "u"), "y", "event_id", top_k=20).collect()
+    assert set(range(6)) <= {r["event_id"] for r in top}
+    assert all(r["adv_score"] >= 0.0 for r in top)  # KL is non-negative
+
+
+def test_model_distillation_flags_teacher_student_gap(spark):
+    """ad/model_distillation.py contract: the score spikes where the reduced
+    student cannot reproduce the teacher — exactly the off-manifold rows
+    whose label signal lives in the feature the student does not see."""
+    from alibi_detect_spark.operators.adversarial import model_distillation_2feat
+
+    df = _manifold_with_adv(spark)
+    a = model_distillation_2feat(df, ("v", "u"), "y", "event_id").collect()
+    assert all(r["distill_score"] >= 0.0 for r in a)
+    b = model_distillation_2feat(
+        df.repartition(16, "u"), ("v", "u"), "y", "event_id"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""
