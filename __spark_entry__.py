@@ -370,6 +370,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("value", "u"),
         "event_id",
     )
+    # AEGMM / VAEGMM analogs (od/aegmm.py, od/vaegmm.py): z = [closed-form
+    # AE latent, relative-Euclid recon feature] → quantized-EM GMM energy
+    # (gmm_outlier_2feat); variational=True uses the pPCA posterior-mean
+    # latent. Both hash-checkable end to end.
+    q["aegmm_outlier"] = lambda s, sf: outlier.gmm_outlier_2feat(
+        outlier.aegmm_features(
+            _t(s, sf, "events").withColumn("u", (F.col("user_id") % 100).cast("double")),
+            ("value", "u"),
+            "event_id",
+        ),
+        ("zl", "zr"),
+        "event_id",
+        n_iter=2,
+    )
+    q["vaegmm_outlier"] = lambda s, sf: outlier.gmm_outlier_2feat(
+        outlier.aegmm_features(
+            _t(s, sf, "events").withColumn("u", (F.col("user_id") % 100).cast("double")),
+            ("value", "u"),
+            "event_id",
+            variational=True,
+        ),
+        ("zl", "zr"),
+        "event_id",
+        n_iter=2,
+    )
     # linear-AE analog (closed-form optimum = rank-k PCA reconstruction) with
     # the reference's outlier_perc top-feature-error aggregation; rows-only
     # (eigendecomposition), NumPy parity + behavioral pytest cover numerics
@@ -624,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # new in round 3
         "llr_outlier", "vae_outlier_2d", "adversarial_ae", "model_distillation",
+        "aegmm_outlier", "vaegmm_outlier",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -1636,12 +1662,16 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
         "(-0.5*ln(2*pi()*v1v) - (v-m1v)*(v-m1v)/(2*v1v)"
         " - 0.5*ln(2*pi()*v1u) - (u-m1u)*(u-m1u)/(2*v1u) + ln(w1))"
     )
-    _gmm_ctes = [
-        """base AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
+    # base CTE(s) are a parameter so the same unrolled-EM chain serves
+    # gmm_outlier_2c (raw events features) and the AEGMM/VAEGMM derived
+    # feature maps; the chain expects a final CTE named `base` with columns
+    # (event_id, v, u, vq, uq)
+    _GMM_EVENTS_BASE = """base AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
                      CAST(user_id % 100 AS DOUBLE) AS u,
                      CAST(round(CAST(value AS DOUBLE)*1000) AS BIGINT) AS vq,
                      CAST(round(CAST(user_id % 100 AS DOUBLE)*1000) AS BIGINT) AS uq
-              FROM events)""",
+              FROM events)"""
+    _gmm_tail_ctes = [
         """gl AS (SELECT CAST(count(*) AS DOUBLE) AS n,
                CAST(sum(vq) AS DOUBLE) AS sv, CAST(sum(vq*vq) AS DOUBLE) AS svv,
                CAST(sum(uq) AS DOUBLE) AS su, CAST(sum(uq*uq) AS DOUBLE) AS suu
@@ -1657,7 +1687,7 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
         FROM gl CROSS JOIN p0 CROSS JOIN p1)""",
     ]
     for t in range(1, 3):
-        _gmm_ctes += [
+        _gmm_tail_ctes += [
             f"""e{t} AS (SELECT event_id, v, u, vq, uq,
           {_GMM_LD0} AS ld0, {_GMM_LD1} AS ld1
         FROM base CROSS JOIN par{t - 1})""",
@@ -1682,15 +1712,70 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
           r0/(r0+r1) AS w0, r1/(r0+r1) AS w1
         FROM s{t})""",
         ]
-    _gmm_ctes += [
+    _gmm_tail_ctes += [
         f"""efin AS (SELECT event_id, {_GMM_LD0} AS ld0, {_GMM_LD1} AS ld1
         FROM base CROSS JOIN par2)""",
         "sc AS (SELECT event_id, ld0, ld1, greatest(ld0, ld1) AS mx FROM efin)",
     ]
-    o["gmm_outlier_2c"] = (
-        "WITH " + ",\n".join(_gmm_ctes) + "\n"
-        "SELECT event_id, round(-(mx + ln(exp(ld0-mx)+exp(ld1-mx))), 6) + 0.0 AS gmm_nll FROM sc"
+
+    def _gmm2_oracle(base_sql: str) -> str:
+        return (
+            "WITH " + ",\n".join([base_sql, *_gmm_tail_ctes]) + "\n"
+            "SELECT event_id, round(-(mx + ln(exp(ld0-mx)+exp(ld1-mx))), 6) + 0.0 AS gmm_nll FROM sc"
+        )
+
+    o["gmm_outlier_2c"] = _gmm2_oracle(_GMM_EVENTS_BASE)
+
+    # AEGMM / VAEGMM feature-map CTEs (mirror outlier.aegmm_features) feeding
+    # the same unrolled-EM chain
+    _AEGMM_COMMON = """b0 AS (SELECT event_id, CAST(value AS DOUBLE) AS x0,
+                  CAST(user_id % 100 AS DOUBLE) AS y0 FROM events),
+ast AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(x0 AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(y0 AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(x0 AS DECIMAL(18,4))*CAST(x0 AS DECIMAL(18,4))) AS DOUBLE) AS sxx_r,
+        CAST(sum(CAST(y0 AS DECIMAL(18,4))*CAST(y0 AS DECIMAL(18,4))) AS DOUBLE) AS syy_r,
+        CAST(sum(CAST(x0 AS DECIMAL(18,4))*CAST(y0 AS DECIMAL(18,4))) AS DOUBLE) AS sxy_r
+        FROM b0),
+amo AS (SELECT sx/n AS mx, sy/n AS my,
+        sxx_r/n - (sx/n)*(sx/n) AS a,
+        syy_r/n - (sy/n)*(sy/n) AS b,
+        sxy_r/n - (sx/n)*(sy/n) AS c
+        FROM ast)"""
+    _ZR = (
+        "least(sqrt((x0 - rv)*(x0 - rv) + (y0 - ru)*(y0 - ru)) / "
+        "(least(sqrt(x0*x0 + y0*y0), sqrt(rv*rv + ru*ru)) + 1e-12), 100.0)"
     )
+    _AEGMM_BASE = f"""{_AEGMM_COMMON},
+arp0 AS (SELECT mx, my, a, c,
+        (a + b + sqrt((a-b)*(a-b) + 4.0*c*c)) / 2.0 AS lamp FROM amo),
+arp AS (SELECT mx, my, c AS w1, lamp - a AS w2,
+        c*c + (lamp - a)*(lamp - a) AS nrm2 FROM arp0),
+af0 AS (SELECT event_id, x0, y0, (x0 - mx)*w1 + (y0 - my)*w2 AS proj,
+        mx, my, w1, w2, nrm2 FROM b0 CROSS JOIN arp),
+af1 AS (SELECT event_id, x0, y0, proj/sqrt(nrm2) AS zl,
+        mx + proj*w1/nrm2 AS rv, my + proj*w2/nrm2 AS ru FROM af0),
+af2 AS (SELECT event_id, zl, {_ZR} AS zr FROM af1),
+base AS (SELECT event_id, zl AS v, zr AS u,
+         CAST(round(zl*1000) AS BIGINT) AS vq,
+         CAST(round(zr*1000) AS BIGINT) AS uq FROM af2)"""
+    _VAEGMM_BASE = f"""{_AEGMM_COMMON},
+vrp0 AS (SELECT mx, my, a, c,
+        (a + b - sqrt((a-b)*(a-b) + 4.0*c*c)) / 2.0 + 1e-9 AS sig2,
+        (a + b + sqrt((a-b)*(a-b) + 4.0*c*c)) / 2.0 AS lamp FROM amo),
+vrp AS (SELECT mx, my,
+        c / sqrt(c*c + (lamp - a)*(lamp - a)) * sqrt(greatest(lamp - sig2, 0.0)) AS w1,
+        (lamp - a) / sqrt(c*c + (lamp - a)*(lamp - a)) * sqrt(greatest(lamp - sig2, 0.0)) AS w2,
+        greatest(lamp - sig2, 0.0) + sig2 AS m_cap FROM vrp0),
+vf0 AS (SELECT event_id, x0, y0, (w1*(x0 - mx) + w2*(y0 - my))/m_cap AS zl,
+        mx, my, w1, w2 FROM b0 CROSS JOIN vrp),
+vf1 AS (SELECT event_id, x0, y0, zl, mx + w1*zl AS rv, my + w2*zl AS ru FROM vf0),
+vf2 AS (SELECT event_id, zl, {_ZR} AS zr FROM vf1),
+base AS (SELECT event_id, zl AS v, zr AS u,
+         CAST(round(zl*1000) AS BIGINT) AS vq,
+         CAST(round(zr*1000) AS BIGINT) AS uq FROM vf2)"""
+    o["aegmm_outlier"] = _gmm2_oracle(_AEGMM_BASE)
+    o["vaegmm_outlier"] = _gmm2_oracle(_VAEGMM_BASE)
 
     # LLR: semantic Gaussian fit on raw features, background fit on the
     # md5-mutated copies — expression trees mirror llr.llr_outlier_2feat

@@ -561,6 +561,113 @@ def gmm_outlier_2feat(
     return base.select(id_col, (F.round(nll, 6) + F.lit(0.0)).alias("gmm_nll"))
 
 
+def aegmm_features(
+    df,
+    cols: tuple[str, str],
+    id_col: str,
+    variational: bool = False,
+    max_eucl: float = 100.0,
+    eps: float = 1e-9,
+):
+    """The AEGMM/VAEGMM feature map (``alibi_detect/od/aegmm.py:157-174``,
+    ``od/vaegmm.py``; network ``models/tensorflow/autoencoder.py:328-355``):
+    ``z = [encoder latent, recon features]`` where the recon features are the
+    relative Euclidean distance ``‖x − x̂‖ / (min(‖x‖, ‖x̂‖) + 1e-12)``
+    clipped to ``[0, max_eucl]`` (``eucl_cosim_features``). The encoder /
+    decoder pair is the linear-AE closed form over two features:
+
+    - ``variational=False`` (AEGMM): latent = unit-normalized projection on
+      the major principal direction, recon = rank-1 PCA reconstruction;
+    - ``variational=True`` (VAEGMM): latent = the pPCA posterior mean
+      ``Wᵀ(x−μ)/M`` (see :func:`vae_outlier_2feat`), recon = ``μ + W·m_z``.
+
+    Returns ``(id, zl, zr)`` — feed to :func:`gmm_outlier_2feat` for the
+    ``gmm_energy`` scoring stage (``od/aegmm.py:172-174``). Everything is
+    broadcast-join column math mirrored in the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    x, y = cols
+    base = df.select(
+        F.col(id_col),
+        F.col(x).cast("double").alias("x0"),
+        F.col(y).cast("double").alias("y0"),
+    )
+    dx_in = F.col("x0").cast("decimal(18,4)")
+    dy_in = F.col("y0").cast("decimal(18,4)")
+    mo = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx_in).cast("double").alias("sx"),
+        F.sum(dy_in).cast("double").alias("sy"),
+        F.sum(dx_in * dx_in).cast("double").alias("sxx_r"),
+        F.sum(dy_in * dy_in).cast("double").alias("syy_r"),
+        F.sum(dx_in * dy_in).cast("double").alias("sxy_r"),
+    ).select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sxx_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("a"),
+        (F.col("syy_r") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("b"),
+        (F.col("sxy_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("c"),
+    )
+    disc = F.sqrt(
+        (F.col("a") - F.col("b")) * (F.col("a") - F.col("b")) + F.lit(4.0) * F.col("c") * F.col("c")
+    )
+    lamp = (F.col("a") + F.col("b") + disc) / F.lit(2.0)
+    if variational:
+        sig2 = (F.col("a") + F.col("b") - disc) / F.lit(2.0) + F.lit(eps)
+        g = F.greatest(lamp - sig2, F.lit(0.0))
+        nrm = F.sqrt(F.col("c") * F.col("c") + (lamp - F.col("a")) * (lamp - F.col("a")))
+        par = mo.select(
+            "mx",
+            "my",
+            (F.col("c") / nrm * F.sqrt(g)).alias("w1"),
+            ((lamp - F.col("a")) / nrm * F.sqrt(g)).alias("w2"),
+            (g + sig2).alias("m_cap"),
+        )
+        j = base.crossJoin(F.broadcast(par))
+        zl = (F.col("w1") * (F.col("x0") - F.col("mx")) + F.col("w2") * (F.col("y0") - F.col("my"))) / F.col("m_cap")
+        f1 = j.select(
+            id_col,
+            "x0",
+            "y0",
+            zl.alias("zl"),
+            (F.col("mx") + F.col("w1") * zl).alias("rv"),
+            (F.col("my") + F.col("w2") * zl).alias("ru"),
+        )
+    else:
+        par = mo.select(
+            "mx",
+            "my",
+            F.col("c").alias("w1"),
+            (lamp - F.col("a")).alias("w2"),
+            (F.col("c") * F.col("c") + (lamp - F.col("a")) * (lamp - F.col("a"))).alias("nrm2"),
+        )
+        j = base.crossJoin(F.broadcast(par))
+        proj = (F.col("x0") - F.col("mx")) * F.col("w1") + (F.col("y0") - F.col("my")) * F.col("w2")
+        f1 = j.select(
+            id_col,
+            "x0",
+            "y0",
+            (proj / F.sqrt(F.col("nrm2"))).alias("zl"),
+            (F.col("mx") + proj * F.col("w1") / F.col("nrm2")).alias("rv"),
+            (F.col("my") + proj * F.col("w2") / F.col("nrm2")).alias("ru"),
+        )
+    rec_euc = F.least(
+        F.sqrt(
+            (F.col("x0") - F.col("rv")) * (F.col("x0") - F.col("rv"))
+            + (F.col("y0") - F.col("ru")) * (F.col("y0") - F.col("ru"))
+        )
+        / (
+            F.least(
+                F.sqrt(F.col("x0") * F.col("x0") + F.col("y0") * F.col("y0")),
+                F.sqrt(F.col("rv") * F.col("rv") + F.col("ru") * F.col("ru")),
+            )
+            + F.lit(1e-12)
+        ),
+        F.lit(max_eucl),
+    )
+    return f1.select(id_col, "zl", rec_euc.alias("zr"))
+
+
 def iforest_outlier_scores(
     emb: DataFrame,
     ref_pred,

@@ -115,6 +115,19 @@ def test_model_distillation_flags_teacher_student_gap(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+@pytest.mark.parametrize("variational", [False, True])
+def test_aegmm_flags_off_manifold(spark, variational):
+    """od/aegmm.py contract: the GMM energy over [latent, recon-distance]
+    spikes for instances off the learned manifold."""
+    from alibi_detect_spark.operators.outlier import aegmm_features, gmm_outlier_2feat
+
+    df = _manifold_with_adv(spark, n=1200, n_adv=5, seed=9)
+    feats = aegmm_features(df, ("v", "u"), "event_id", variational=variational)
+    got = gmm_outlier_2feat(feats, ("zl", "zr"), "event_id", n_iter=2)
+    top = got.orderBy(F.desc("gmm_nll"), "event_id").limit(15).collect()
+    assert set(range(5)) <= {r["event_id"] for r in top}
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""
