@@ -35,6 +35,7 @@ from alibi_detect_spark.operators.detect import (  # noqa: E402
     ewma_over,
     fet_online_over,
     lsdd_online_over,
+    lsdd_online_stats_over,
     mahalanobis_online_over,
     mmd_online_stats_over,
     score_rollup,
@@ -456,6 +457,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type",
         "avg_value",
     )
+    # online LSDD stat trajectory, closed-form 2-center instance — pure
+    # window math (no UDF), hash-checkable; the seeded bootstrap detector
+    # with thresholds stays in lsdd_online below (rows-only)
+    q["lsdd_online_hash"] = lambda s, sf: lsdd_online_stats_over(
+        _t(s, sf, "events"), "event_type", "event_id", "value",
+        n_ref=64, window_size=10,
+    )
     q["lsdd_online"] = lambda s, sf: lsdd_online_over(
         _t(s, sf, "events").select(
             "event_type", F.col("event_id").alias("seq"), "value",
@@ -649,7 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # new in round 3
         "llr_outlier", "vae_outlier_2d", "adversarial_ae", "model_distillation",
-        "aegmm_outlier", "vaegmm_outlier",
+        "aegmm_outlier", "vaegmm_outlier", "lsdd_online_hash",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -1932,6 +1940,42 @@ sc AS (SELECT event_id,
 SELECT event_id, distill_score, CAST(rk AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (ORDER BY distill_score DESC, event_id) AS rk FROM sc)
 WHERE rk <= 100
+"""
+
+    # online LSDD: quantized kernel features make every windowed/reference
+    # sum exact; mirrors detect.lsdd_online_stats_over layer-for-layer
+    _LQ = 1_000_000_000
+    o["lsdd_online_hash"] = f"""
+WITH base AS (SELECT event_type AS k, event_id AS o, CAST(value AS DOUBLE) AS v FROM events),
+rnk AS (SELECT k, o, v, row_number() OVER (PARTITION BY k ORDER BY o) AS rn FROM base),
+cen AS (SELECT k, max(CASE WHEN rn=1 THEN v END) AS c1,
+               max(CASE WHEN rn=2 THEN v END) AS c2
+        FROM rnk WHERE rn <= 2 GROUP BY k),
+kf AS (SELECT rnk.k AS k, o, rn,
+       CAST(round(exp(-((v - c1)*(v - c1))/50.0)*{_LQ}) AS BIGINT) AS k1q,
+       CAST(round(exp(-((v - c2)*(v - c2))/50.0)*{_LQ}) AS BIGINT) AS k2q
+       FROM rnk JOIN cen ON cen.k = rnk.k),
+refs AS (SELECT k, CAST(sum(k1q) AS DOUBLE) AS sr1, CAST(sum(k2q) AS DOUBLE) AS sr2
+         FROM kf WHERE rn <= 64 GROUP BY k),
+strm AS (SELECT k, o, rn,
+         CAST(sum(k1q) OVER (PARTITION BY k ORDER BY rn ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE) AS w1,
+         CAST(sum(k2q) OVER (PARTITION BY k ORDER BY rn ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE) AS w2
+         FROM kf WHERE rn > 64),
+mm0 AS (SELECT k, exp(-((c1 - c2)*(c1 - c2))/100.0) AS e FROM cen),
+mm1 AS (SELECT k, e, {1.25 * 1.25!r} - e*e AS det FROM mm0),
+mm2 AS (SELECT k, e, 1.25/det AS b11, (-e)/det AS b12 FROM mm1),
+mm3 AS (SELECT k, e, b11, b12, b11 + b12*e AS bh11, b11*e + b12 AS bh12 FROM mm2),
+mm4 AS (SELECT k, b11, b12, bh11*b11 + bh12*b12 AS bhb11, bh11*b12 + bh12*b11 AS bhb12 FROM mm3),
+mm AS (SELECT k, 2.0*b11 - bhb11 AS m11, 2.0*b12 - bhb12 AS m12 FROM mm4),
+sc AS (SELECT strm.k AS k, o,
+       sr1/{64 * 1e9!r} - w1/{10 * 1e9!r} AS h1,
+       sr2/{64 * 1e9!r} - w2/{10 * 1e9!r} AS h2,
+       m11, m12
+       FROM strm JOIN refs ON refs.k = strm.k JOIN mm ON mm.k = strm.k
+       WHERE rn >= 74)
+SELECT k AS event_type, o AS event_id,
+       round(m11*(h1*h1 + h2*h2) + 2.0*m12*h1*h2, 9) + 0.0 AS lsdd_stat
+FROM sc
 """
 
     # pPCA/VAE: parameters and the analytic expected-reconstruction-error

@@ -365,6 +365,97 @@ def lsdd_online_over(
     return df.select(key, order_col, *value_cols).groupBy(key).applyInPandas(fn, schema=schema)
 
 
+def lsdd_online_stats_over(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    n_ref: int = 64,
+    window_size: int = 10,
+    sigma: float = 5.0,
+    lam: float = 0.25,
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Online-LSDD stat trajectory with the closed-form 2-center kernel — the
+    SQL-oracle-checkable variant of ``cd/pytorch/lsdd_online.py:12-243``
+    (per-step LSDD between the reference and a FIFO test window), built from
+    the same pinned-fit choices as :func:`~.drift.lsdd_perm_test_hash`:
+    centers = first two reference rows per key, fixed σ and λ, closed-form
+    2×2 ``H_λ⁻¹ = 2B − BHB``. The per-step statistic is
+    ``h' H_λ⁻¹ h`` with ``h = mean_ref(φ) − mean_window(φ)``, the reference's
+    estimator structure (``utils/pytorch/distance.py:152-243``) on the
+    deterministic feature map. The seeded bootstrap detector with thresholds
+    is :func:`lsdd_online_over` (pytest-covered).
+
+    Unlike the ``applyInPandas`` detectors this one is PURE declarative
+    column math: a per-key ``row_number`` window, kernel features QUANTIZED
+    to integers (so every windowed/reference sum is exact and order-free in
+    both engines), one sliding-window sum, and two broadcast joins of tiny
+    per-key relations. Whole-stage codegen end to end — at 10^12 rows the
+    only shuffle is the per-key ordering the semantics require."""
+    from pyspark.sql import Window
+
+    two_sig2 = 2.0 * sigma * sigma
+    four_sig2 = 4.0 * sigma * sigma
+    a = 1.0 + lam
+    w0 = Window.partitionBy(key).orderBy(order_col)
+    base = df.select(
+        F.col(key), F.col(order_col), F.col(value).cast("double").alias("v")
+    ).withColumn("rn", F.row_number().over(w0))
+    cen = base.where(F.col("rn") <= 2).groupBy(key).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("c1"),
+        F.max(F.when(F.col("rn") == 2, F.col("v"))).alias("c2"),
+    )
+    kq = lambda c: F.round(  # noqa: E731
+        F.exp(-((F.col("v") - F.col(c)) * (F.col("v") - F.col(c))) / F.lit(two_sig2)) * quant
+    ).cast("long")
+    kf = base.join(F.broadcast(cen), key).select(
+        key, order_col, "rn", kq("c1").alias("k1q"), kq("c2").alias("k2q")
+    )
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    refs = kf.where(F.col("rn") <= n_ref).groupBy(key).agg(
+        big(F.col("k1q")).alias("sr1"), big(F.col("k2q")).alias("sr2")
+    )
+    wwin = Window.partitionBy(key).orderBy("rn").rowsBetween(-(window_size - 1), 0)
+    strm = (
+        kf.where(F.col("rn") > n_ref)
+        .select(
+            key,
+            order_col,
+            "rn",
+            F.sum("k1q").over(wwin).cast("double").alias("w1"),
+            F.sum("k2q").over(wwin).cast("double").alias("w2"),
+        )
+        .where(F.col("rn") >= n_ref + window_size)
+    )
+    # closed-form H_λ⁻¹ per key (CTE-layered so the oracle mirrors each step)
+    mm = (
+        cen.withColumn(
+            "e",
+            F.exp(-((F.col("c1") - F.col("c2")) * (F.col("c1") - F.col("c2"))) / F.lit(four_sig2)),
+        )
+        .withColumn("det", F.lit(a * a) - F.col("e") * F.col("e"))
+        .withColumn("b11", F.lit(a) / F.col("det"))
+        .withColumn("b12", (-F.col("e")) / F.col("det"))
+        .withColumn("bh11", F.col("b11") + F.col("b12") * F.col("e"))
+        .withColumn("bh12", F.col("b11") * F.col("e") + F.col("b12"))
+        .withColumn("bhb11", F.col("bh11") * F.col("b11") + F.col("bh12") * F.col("b12"))
+        .withColumn("bhb12", F.col("bh11") * F.col("b12") + F.col("bh12") * F.col("b11"))
+        .select(
+            key,
+            (F.lit(2.0) * F.col("b11") - F.col("bhb11")).alias("m11"),
+            (F.lit(2.0) * F.col("b12") - F.col("bhb12")).alias("m12"),
+        )
+    )
+    j = strm.join(F.broadcast(refs), key).join(F.broadcast(mm), key)
+    h1 = F.col("sr1") / F.lit(n_ref * float(quant)) - F.col("w1") / F.lit(window_size * float(quant))
+    h2 = F.col("sr2") / F.lit(n_ref * float(quant)) - F.col("w2") / F.lit(window_size * float(quant))
+    stat = F.col("m11") * (h1 * h1 + h2 * h2) + F.lit(2.0) * F.col("m12") * h1 * h2
+    return j.select(
+        key, order_col, (F.round(stat, 9) + F.lit(0.0)).alias("lsdd_stat")
+    )
+
+
 def mahalanobis_online_over(
     df: DataFrame,
     key: str,

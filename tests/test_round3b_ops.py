@@ -128,6 +128,35 @@ def test_aegmm_flags_off_manifold(spark, variational):
     assert set(range(5)) <= {r["event_id"] for r in top}
 
 
+def test_lsdd_online_hash_detects_shift(spark):
+    """cd/pytorch/lsdd_online.py contract: the per-step LSDD stat stays near
+    zero while the stream matches the reference and jumps after a mean
+    shift."""
+    from alibi_detect_spark.operators.detect import lsdd_online_stats_over
+
+    rng = np.random.default_rng(17)
+    vals = np.concatenate([rng.normal(10.0, 2.0, 300), rng.normal(22.0, 2.0, 100)])
+    rows = [("s0", int(i), float(vals[i])) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, seq long, value double")
+    out = (
+        lsdd_online_stats_over(df, "k", "seq", "value", n_ref=64, window_size=10)
+        .orderBy("seq")
+        .collect()
+    )
+    pre = [r["lsdd_stat"] for r in out if r["seq"] < 290]
+    post = [r["lsdd_stat"] for r in out if r["seq"] >= 315]
+    assert np.mean(post) > 10.0 * max(np.mean(pre), 1e-12)
+    # partitioning invariance: quantized sums are order-free
+    out2 = (
+        lsdd_online_stats_over(
+            df.repartition(16), "k", "seq", "value", n_ref=64, window_size=10
+        )
+        .orderBy("seq")
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""
