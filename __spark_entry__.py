@@ -37,6 +37,7 @@ from alibi_detect_spark.operators.detect import (  # noqa: E402
     lsdd_online_over,
     lsdd_online_stats_over,
     mahalanobis_online_over,
+    mahalanobis_online_stats_over,
     mmd_online_stats_over,
     score_rollup,
     seasonal_band_outliers,
@@ -457,6 +458,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type",
         "avg_value",
     )
+    # online Mahalanobis score trajectory — prefix-moment closed form (the
+    # online state IS the exclusive cumulative sums), hash-checkable; the
+    # PCA-projected seeded variant stays in mahalanobis_online (rows-only)
+    q["mahalanobis_online_hash"] = lambda s, sf: mahalanobis_online_stats_over(
+        _t(s, sf, "events").withColumn("u", (F.col("user_id") % 100).cast("double")),
+        "event_type",
+        "event_id",
+        ("value", "u"),
+    )
     # online LSDD stat trajectory, closed-form 2-center instance — pure
     # window math (no UDF), hash-checkable; the seeded bootstrap detector
     # with thresholds stays in lsdd_online below (rows-only)
@@ -658,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3
         "llr_outlier", "vae_outlier_2d", "adversarial_ae", "model_distillation",
         "aegmm_outlier", "vaegmm_outlier", "lsdd_online_hash",
+        "mahalanobis_online_hash",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -1940,6 +1951,38 @@ sc AS (SELECT event_id,
 SELECT event_id, distill_score, CAST(rk AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (ORDER BY distill_score DESC, event_id) AS rk FROM sc)
 WHERE rk <= 100
+"""
+
+    # online Mahalanobis: exclusive cumulative quantized moments — mirrors
+    # detect.mahalanobis_online_stats_over term-for-term
+    o["mahalanobis_online_hash"] = """
+WITH base AS (SELECT event_type AS k, event_id AS o,
+              CAST(value AS DOUBLE) AS v, CAST(user_id % 100 AS DOUBLE) AS u,
+              CAST(round(CAST(value AS DOUBLE)*10000) AS BIGINT) AS vq,
+              CAST(round(CAST(user_id % 100 AS DOUBLE)*10000) AS BIGINT) AS uq
+       FROM events),
+rnk AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY o) AS rn FROM base),
+pre AS (SELECT k, o, v, u, rn,
+        CAST(sum(vq)    OVER w AS DOUBLE) AS sv,
+        CAST(sum(vq*vq) OVER w AS DOUBLE) AS svv,
+        CAST(sum(uq)    OVER w AS DOUBLE) AS su,
+        CAST(sum(uq*uq) OVER w AS DOUBLE) AS suu,
+        CAST(sum(vq*uq) OVER w AS DOUBLE) AS svu
+        FROM rnk
+        WINDOW w AS (PARTITION BY k ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+mom AS (SELECT k, o, v, u,
+        CAST(rn - 1 AS DOUBLE) AS n, sv, svv, su, suu, svu
+        FROM pre WHERE rn > 30),
+par AS (SELECT k, o, v, u, n,
+        sv/(n*10000.0) AS mv, su/(n*10000.0) AS mu,
+        (svv/(n*10000.0*10000.0) - (sv/(n*10000.0))*(sv/(n*10000.0))) + 1e-9 AS a,
+        (suu/(n*10000.0*10000.0) - (su/(n*10000.0))*(su/(n*10000.0))) + 1e-9 AS b,
+        svu/(n*10000.0*10000.0) - (sv/(n*10000.0))*(su/(n*10000.0)) AS c
+        FROM mom)
+SELECT k AS event_type, o AS event_id,
+       round((b*(v - mv)*(v - mv) - 2.0*c*(v - mv)*(u - mu) + a*(u - mu)*(u - mu))
+             / (a*b - c*c), 6) + 0.0 AS maha_score
+FROM par
 """
 
     # online LSDD: quantized kernel features make every windowed/reference

@@ -456,6 +456,74 @@ def lsdd_online_stats_over(
     )
 
 
+def mahalanobis_online_stats_over(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_cols: tuple[str, str],
+    warmup: int = 30,
+    quant: int = 10_000,
+    var_eps: float = 1e-9,
+) -> DataFrame:
+    """Online Mahalanobis score trajectory — the SQL-oracle-checkable
+    2-feature instance of ``alibi_detect/od/mahalanobis.py:15-316`` (score
+    each instance against the mean/covariance of all PREVIOUS instances,
+    state updated online). The key observation: the online state after t−1
+    instances is exactly the prefix moments of the ordered stream, so the
+    whole recursion collapses to EXCLUSIVE cumulative window sums — no
+    sequential loop, no UDF. Features are quantized to integers so every
+    prefix sum is exact and order-free; the 2×2 covariance inverse is closed
+    form. The reference's PCA projection (``n_components``) and categorical
+    embedding live in the seeded ``mahalanobis_online_over`` variant
+    (rows-only, pytest-covered).
+
+    Scale shape: one per-key ordered window pass (the only shuffle), then
+    whole-stage-codegen column math."""
+    from pyspark.sql import Window
+
+    x, y = value_cols
+    q = float(quant)
+    w0 = Window.partitionBy(key).orderBy(order_col)
+    base = (
+        df.select(
+            F.col(key),
+            F.col(order_col),
+            F.col(x).cast("double").alias("v"),
+            F.col(y).cast("double").alias("u"),
+        )
+        .withColumn("vq", F.round(F.col("v") * quant).cast("long"))
+        .withColumn("uq", F.round(F.col("u") * quant).cast("long"))
+        .withColumn("rn", F.row_number().over(w0))
+    )
+    wcum = Window.partitionBy(key).orderBy("rn").rowsBetween(Window.unboundedPreceding, -1)
+    cum = lambda c: F.sum(c.cast("decimal(38,0)")).over(wcum).cast("double")  # noqa: E731
+    pre = base.select(
+        key,
+        order_col,
+        "v",
+        "u",
+        "rn",
+        cum(F.col("vq")).alias("sv"),
+        cum(F.col("vq") * F.col("vq")).alias("svv"),
+        cum(F.col("uq")).alias("su"),
+        cum(F.col("uq") * F.col("uq")).alias("suu"),
+        cum(F.col("vq") * F.col("uq")).alias("svu"),
+    ).where(F.col("rn") > warmup)
+    n = (F.col("rn") - F.lit(1)).cast("double")
+    mv = F.col("sv") / (n * q)
+    mu = F.col("su") / (n * q)
+    a = (F.col("svv") / (n * q * q) - mv * mv) + var_eps
+    b = (F.col("suu") / (n * q * q) - mu * mu) + var_eps
+    c = F.col("svu") / (n * q * q) - mv * mu
+    det = a * b - c * c
+    dx = F.col("v") - mv
+    dy = F.col("u") - mu
+    d2 = (b * dx * dx - F.lit(2.0) * c * dx * dy + a * dy * dy) / det
+    return pre.select(
+        key, order_col, (F.round(d2, 6) + F.lit(0.0)).alias("maha_score")
+    )
+
+
 def mahalanobis_online_over(
     df: DataFrame,
     key: str,

@@ -157,6 +157,44 @@ def test_lsdd_online_hash_detects_shift(spark):
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
 
 
+def test_mahalanobis_online_hash_matches_sequential_twin(spark):
+    """The exclusive-prefix-moment collapse == the od/mahalanobis.py online
+    recursion: a sequential NumPy twin updating state one instance at a time
+    produces the identical trajectory (6dp)."""
+    from alibi_detect_spark.operators.detect import mahalanobis_online_stats_over
+
+    rng = np.random.default_rng(23)
+    v = rng.normal(50.0, 5.0, 200)
+    u = rng.normal(20.0, 3.0, 200)
+    v[150] = 120.0  # one clear outlier vs the stream so far
+    rows = [("s0", int(i), float(v[i]), float(u[i])) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, seq long, v double, u double")
+    got = {
+        r["seq"]: r["maha_score"]
+        for r in mahalanobis_online_stats_over(df, "k", "seq", ("v", "u")).collect()
+    }
+    # sequential twin: state = running quantized moments updated per instance
+    vq = np.round(v * 10000).astype(np.int64)
+    uq = np.round(u * 10000).astype(np.int64)
+    sv = svv = su = suu = svu = 0
+    exp = {}
+    for t in range(200):
+        if t >= 30:  # rn = t+1 > warmup=30
+            n = float(t)
+            mv, mu = sv / (n * 1e4), su / (n * 1e4)
+            a = (svv / (n * 1e8) - mv * mv) + 1e-9
+            b = (suu / (n * 1e8) - mu * mu) + 1e-9
+            c = svu / (n * 1e8) - mv * mu
+            dx, dy = v[t] - mv, u[t] - mu
+            exp[t] = round((b * dx * dx - 2.0 * c * dx * dy + a * dy * dy) / (a * b - c * c), 6)
+        sv += vq[t]; svv += vq[t] * vq[t]; su += uq[t]
+        suu += uq[t] * uq[t]; svu += vq[t] * uq[t]
+    assert set(got) == set(exp)
+    for t, s in exp.items():
+        assert abs(got[t] - s) < 2e-6, (t, got[t], s)
+    assert got[150] == max(got.values())  # the injected outlier tops the trajectory
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""
