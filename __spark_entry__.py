@@ -262,6 +262,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["spot_the_diff"] = lambda s, sf: classifier.spot_the_diff_drift(
         _events_labeled(s, sf), "value", "event_id"
     )
+    # multi-feature SpotTheDiff: 2-d probes (mean ± std per dimension),
+    # per-feature interpretable diffs
+    q["spot_the_diff_2d"] = lambda s, sf: classifier.spot_the_diff_drift_2d(
+        _events_u(s, sf), ("value", "u"), "event_id"
+    )
     q["iforest_outlier"] = lambda s, sf: outlier.iforest_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0
     )
@@ -668,7 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3
         "llr_outlier", "vae_outlier_2d", "adversarial_ae", "model_distillation",
         "aegmm_outlier", "vaegmm_outlier", "lsdd_online_hash",
-        "mahalanobis_online_hash",
+        "mahalanobis_online_hash", "spot_the_diff_2d",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -1330,6 +1335,86 @@ FROM (SELECT n_ref, n_test, d_raw, sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS 
     # mom → cf → cf2 → scored → KS), quantized kernel features make every
     # ridge moment an exact integer sum
     _FS = "1000000000.0"
+    # multi-feature SpotTheDiff: identical ridge/KS layers, 2-d RBF probes
+    # (bandwidth = Σ_d var_d), per-feature diffs — mirrors
+    # classifier.spot_the_diff_drift_2d
+    _K2 = (
+        "exp(-((v-(gm_v{s}gsd_v))*(v-(gm_v{s}gsd_v)) + (u-(gm_u{s}gsd_u))*(u-(gm_u{s}gsd_u)))"
+        "/(2.0*(gsd_v*gsd_v + gsd_u*gsd_u)))"
+    )
+    o["spot_the_diff_2d"] = f"""
+WITH lab AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+                    CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,4)) AS BIGINT) % 2 AS INTEGER) AS fold,
+                    CAST(value AS DOUBLE) AS v,
+                    CAST(user_id % 100 AS DOUBLE) AS u,
+                    CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS y
+             FROM events),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS gn,
+             CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS gsv,
+             CAST(sum(CAST(v AS DECIMAL(18,4))*CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS gsvv,
+             CAST(sum(CAST(u AS DECIMAL(18,4))) AS DOUBLE) AS gsu,
+             CAST(sum(CAST(u AS DECIMAL(18,4))*CAST(u AS DECIMAL(18,4))) AS DOUBLE) AS gsuu
+      FROM lab),
+gs AS (SELECT gsv/gn AS gm_v, sqrt(gsvv/gn - (gsv/gn)*(gsv/gn) + 1e-9) AS gsd_v,
+              gsu/gn AS gm_u, sqrt(gsuu/gn - (gsu/gn)*(gsu/gn) + 1e-9) AS gsd_u FROM g),
+feat AS (SELECT s, fold, y,
+    CAST(round({_K2.format(s='+')}*{_FS}) AS BIGINT) AS f1q,
+    CAST(round({_K2.format(s='-')}*{_FS}) AS BIGINT) AS f2q
+  FROM lab CROSS JOIN gs),
+pf AS (SELECT fold, count(*) AS cnt,
+              sum(f1q) AS s1, sum(f2q) AS s2,
+              sum(f1q*f1q) AS s11, sum(f2q*f2q) AS s22, sum(f1q*f2q) AS s12,
+              sum(y) AS sy, sum(f1q*y) AS s1y, sum(f2q*y) AS s2y
+       FROM feat GROUP BY 1),
+tt AS (SELECT sum(cnt) AS t_cnt, sum(s1) AS t_s1, sum(s2) AS t_s2,
+              sum(s11) AS t_s11, sum(s22) AS t_s22, sum(s12) AS t_s12,
+              sum(sy) AS t_sy, sum(s1y) AS t_s1y, sum(s2y) AS t_s2y FROM pf),
+tr AS (SELECT fold,
+              CAST(t_cnt - cnt AS DOUBLE) AS cnt,
+              CAST(t_s1 - s1 AS DOUBLE) AS s1, CAST(t_s2 - s2 AS DOUBLE) AS s2,
+              CAST(t_s11 - s11 AS DOUBLE) AS s11, CAST(t_s22 - s22 AS DOUBLE) AS s22,
+              CAST(t_s12 - s12 AS DOUBLE) AS s12, CAST(t_sy - sy AS DOUBLE) AS sy,
+              CAST(t_s1y - s1y AS DOUBLE) AS s1y, CAST(t_s2y - s2y AS DOUBLE) AS s2y
+       FROM pf CROSS JOIN tt),
+mom AS (SELECT fold,
+  s1/(cnt*{_FS}) AS m1, s2/(cnt*{_FS}) AS m2, sy/cnt AS my,
+  s11/(cnt*{_FS}*{_FS}) - (s1/(cnt*{_FS}))*(s1/(cnt*{_FS})) AS c11,
+  s22/(cnt*{_FS}*{_FS}) - (s2/(cnt*{_FS}))*(s2/(cnt*{_FS})) AS c22,
+  s12/(cnt*{_FS}*{_FS}) - (s1/(cnt*{_FS}))*(s2/(cnt*{_FS})) AS c12,
+  s1y/(cnt*{_FS}) - (s1/(cnt*{_FS}))*(sy/cnt) AS c1y,
+  s2y/(cnt*{_FS}) - (s2/(cnt*{_FS}))*(sy/cnt) AS c2y
+ FROM tr),
+cf AS (SELECT fold, m1, m2, my,
+  ((c22 + 0.1)*c1y - c12*c2y) / ((c11 + 0.1)*(c22 + 0.1) - c12*c12) AS b1,
+  ((c11 + 0.1)*c2y - c12*c1y) / ((c11 + 0.1)*(c22 + 0.1) - c12*c12) AS b2
+ FROM mom),
+cf2 AS (SELECT fold, b1, b2, my - b1*m1 - b2*m2 AS a0 FROM cf),
+sc AS (SELECT feat.s AS s, round(a0 + b1*(f1q/{_FS}) + b2*(f2q/{_FS}), 9) AS pv
+       FROM feat JOIN cf2 ON cf2.fold = feat.fold),
+fc AS (SELECT round(b1, 6) + 0.0 AS coef_hi, round(b2, 6) + 0.0 AS coef_lo,
+              round(gsd_v, 6) + 0.0 AS diff_hi_v, round(gsd_u, 6) + 0.0 AS diff_hi_u,
+              -round(gsd_v, 6) + 0.0 AS diff_lo_v, -round(gsd_u, 6) + 0.0 AS diff_lo_u
+       FROM cf2 CROSS JOIN gs WHERE fold = 1)
+SELECT 'spot_diff_2d' AS feature, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_test AS BIGINT) AS n_test,
+       round(d_raw, 9) AS ks_stat,
+       round(CASE WHEN tt2 <= 0 THEN 1.0 ELSE
+         least(greatest(list_sum(list_transform(generate_series(1, 100),
+           k -> 2.0 * pow(-1.0, k-1) * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * tt2 * tt2))), 0.0), 1.0)
+       END, 9) AS p_value,
+       coef_hi, coef_lo, diff_hi_v, diff_hi_u, diff_lo_v, diff_lo_u
+FROM (SELECT n_ref, n_test, d_raw, sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS tt2
+      FROM (SELECT n_ref, n_test, max(abs(cum_ref/n_ref - cum_test/n_test)) AS d_raw
+            FROM (SELECT sum(c_ref)  OVER (ORDER BY pv ROWS UNBOUNDED PRECEDING) AS cum_ref,
+                         sum(c_test) OVER (ORDER BY pv ROWS UNBOUNDED PRECEDING) AS cum_test,
+                         sum(c_ref)  OVER () AS n_ref,
+                         sum(c_test) OVER () AS n_test
+                  FROM (SELECT pv,
+                               sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+                               sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS c_test
+                        FROM sc GROUP BY 1))
+            GROUP BY 1, 2)) CROSS JOIN fc
+"""
+
     o["spot_the_diff"] = f"""
 WITH lab AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
                     CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,4)) AS BIGINT) % 2 AS INTEGER) AS fold,

@@ -256,6 +256,143 @@ def spot_the_diff_drift(
     return ks.crossJoin(F.broadcast(final_coef))
 
 
+def spot_the_diff_drift_2d(
+    df: DataFrame,
+    values: tuple[str, str],
+    id_col: str,
+    sample: str = "sample",
+    n_folds: int = 2,
+    lam: float = 0.1,
+    var_eps: float = 1e-9,
+    fscale: int = 1_000_000_000,
+) -> DataFrame:
+    """Multi-feature SpotTheDiffDrift — the d>1 shape of
+    :func:`spot_the_diff_drift` (``cd/spot_the_diff.py:17-189``): probes are
+    now POINTS in feature space (``w_hi = mean + std``, ``w_lo = mean − std``
+    per dimension — the d-dimensional analog of the reference's
+    ``initial_diffs ~ N(0,1)·x_ref.std(0)``, ``cd/pytorch/spot_the_diff.py:
+    138-139``), the RBF kernel runs on the 2-d distance with bandwidth
+    ``σ² = Σ_d var_d``, and the interpretable diffs come back PER FEATURE
+    (``diff_hi_v, diff_hi_u, …`` — the reference's per-dimension diff maps,
+    ``spot_the_diff.py:50-55``). Ridge head, leave-fold-out scoring and the
+    KS test are the same exact-integer-moment machinery."""
+    fs = float(fscale)
+    v_col, u_col = values
+    lab = df.select(
+        F.col(sample).alias("s"),
+        _hash_fold(id_col, n_folds),
+        F.col(v_col).cast("double").alias("v"),
+        F.col(u_col).cast("double").alias("u"),
+        (F.col(sample) != "ref").cast("long").alias("y"),
+    )
+    dv = F.col("v").cast("decimal(18,4)")
+    du = F.col("u").cast("decimal(18,4)")
+    gstats = lab.agg(
+        F.count(F.lit(1)).cast("double").alias("gn"),
+        F.sum(dv).cast("double").alias("gsv"),
+        F.sum(dv * dv).cast("double").alias("gsvv"),
+        F.sum(du).cast("double").alias("gsu"),
+        F.sum(du * du).cast("double").alias("gsuu"),
+    ).select(
+        (F.col("gsv") / F.col("gn")).alias("gm_v"),
+        F.sqrt(
+            F.col("gsvv") / F.col("gn")
+            - (F.col("gsv") / F.col("gn")) * (F.col("gsv") / F.col("gn"))
+            + F.lit(var_eps)
+        ).alias("gsd_v"),
+        (F.col("gsu") / F.col("gn")).alias("gm_u"),
+        F.sqrt(
+            F.col("gsuu") / F.col("gn")
+            - (F.col("gsu") / F.col("gn")) * (F.col("gsu") / F.col("gn"))
+            + F.lit(var_eps)
+        ).alias("gsd_u"),
+    )
+    base = lab.crossJoin(F.broadcast(gstats))
+    s2 = F.col("gsd_v") * F.col("gsd_v") + F.col("gsd_u") * F.col("gsd_u")
+    kern = lambda wv, wu: F.exp(  # noqa: E731
+        -((F.col("v") - wv) * (F.col("v") - wv) + (F.col("u") - wu) * (F.col("u") - wu))
+        / (F.lit(2.0) * s2)
+    )
+    feat = base.select(
+        "s",
+        "fold",
+        "y",
+        F.round(
+            kern(F.col("gm_v") + F.col("gsd_v"), F.col("gm_u") + F.col("gsd_u")) * fscale
+        ).cast("long").alias("f1q"),
+        F.round(
+            kern(F.col("gm_v") - F.col("gsd_v"), F.col("gm_u") - F.col("gsd_u")) * fscale
+        ).cast("long").alias("f2q"),
+        (F.col("gsd_v") + F.lit(0.0)).alias("gsd_v"),
+        (F.col("gsd_u") + F.lit(0.0)).alias("gsd_u"),
+    )
+    big = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
+    f1, f2, yy = F.col("f1q"), F.col("f2q"), F.col("y")
+    per_fold = feat.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        big(f1).alias("s1"),
+        big(f2).alias("s2"),
+        big(f1 * f1).alias("s11"),
+        big(f2 * f2).alias("s22"),
+        big(f1 * f2).alias("s12"),
+        big(yy).alias("sy"),
+        big(f1 * yy).alias("s1y"),
+        big(f2 * yy).alias("s2y"),
+    )
+    tot_cols = ["cnt", "s1", "s2", "s11", "s22", "s12", "sy", "s1y", "s2y"]
+    totals = per_fold.agg(*[F.sum(c).alias(f"t_{c}") for c in tot_cols])
+    train = per_fold.crossJoin(F.broadcast(totals)).select(
+        "fold",
+        *[((F.col(f"t_{c}") - F.col(c)).cast("double")).alias(c) for c in tot_cols],
+    )
+    n = F.col("cnt")
+    mom = train.select(
+        "fold",
+        (F.col("s1") / (n * fs)).alias("m1"),
+        (F.col("s2") / (n * fs)).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+        (F.col("s11") / (n * fs * fs) - (F.col("s1") / (n * fs)) * (F.col("s1") / (n * fs))).alias("c11"),
+        (F.col("s22") / (n * fs * fs) - (F.col("s2") / (n * fs)) * (F.col("s2") / (n * fs))).alias("c22"),
+        (F.col("s12") / (n * fs * fs) - (F.col("s1") / (n * fs)) * (F.col("s2") / (n * fs))).alias("c12"),
+        (F.col("s1y") / (n * fs) - (F.col("s1") / (n * fs)) * (F.col("sy") / n)).alias("c1y"),
+        (F.col("s2y") / (n * fs) - (F.col("s2") / (n * fs)) * (F.col("sy") / n)).alias("c2y"),
+    )
+    det = (F.col("c11") + F.lit(lam)) * (F.col("c22") + F.lit(lam)) - F.col("c12") * F.col("c12")
+    coef = mom.select(
+        "fold",
+        "m1",
+        "m2",
+        "my",
+        (((F.col("c22") + F.lit(lam)) * F.col("c1y") - F.col("c12") * F.col("c2y")) / det).alias("b1"),
+        (((F.col("c11") + F.lit(lam)) * F.col("c2y") - F.col("c12") * F.col("c1y")) / det).alias("b2"),
+    ).select(
+        "fold",
+        "b1",
+        "b2",
+        (F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2")).alias("a0"),
+    )
+    scored = feat.join(F.broadcast(coef), "fold").select(
+        F.lit("spot_diff_2d").alias("feature"),
+        F.round(
+            F.col("a0")
+            + F.col("b1") * (F.col("f1q") / F.lit(fs))
+            + F.col("b2") * (F.col("f2q") / F.lit(fs)),
+            9,
+        ).alias("value"),
+        F.col("s").alias(sample),
+    )
+    ks = ks_2samp(scored, "feature", "value", sample)
+    final_coef = coef.where(F.col("fold") == n_folds - 1).crossJoin(F.broadcast(gstats)).select(
+        (F.round("b1", 6) + F.lit(0.0)).alias("coef_hi"),
+        (F.round("b2", 6) + F.lit(0.0)).alias("coef_lo"),
+        (F.round("gsd_v", 6) + F.lit(0.0)).alias("diff_hi_v"),
+        (F.round("gsd_u", 6) + F.lit(0.0)).alias("diff_hi_u"),
+        (-F.round("gsd_v", 6) + F.lit(0.0)).alias("diff_lo_v"),
+        (-F.round("gsd_u", 6) + F.lit(0.0)).alias("diff_lo_u"),
+    )
+    return ks.crossJoin(F.broadcast(final_coef))
+
+
 def classifier_drift_lr(
     df: DataFrame,
     num_cols: list[str],

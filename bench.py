@@ -58,8 +58,16 @@ BENCH_QUERIES = [
     "kpca_outlier",
     "iforest_outlier",
     "svm_outlier",
+    "llr_outlier",
+    "vae_outlier_2d",
+    "adversarial_ae",
+    "model_distillation",
+    "aegmm_outlier",
+    "vaegmm_outlier",
     "sr_saliency",
     "mmd_online",
+    "lsdd_online_hash",
+    "mahalanobis_online_hash",
     "fet_online",
     "cvm_online",
     "lsdd_online",

@@ -195,6 +195,30 @@ def test_mahalanobis_online_hash_matches_sequential_twin(spark):
     assert got[150] == max(got.values())  # the injected outlier tops the trajectory
 
 
+def test_spot_the_diff_2d_h0_h1(spark):
+    """2-d SpotTheDiff keeps the drift contract (large p under H0, small
+    under a shift in either feature) and reports per-feature diffs."""
+    from alibi_detect_spark.operators.classifier import spot_the_diff_drift_2d
+
+    rng = np.random.default_rng(31)
+
+    def mk(shift_u):
+        rows = []
+        for i in range(1600):
+            s = "ref" if i % 2 == 0 else "test"
+            v = float(rng.normal(10, 2))
+            u = float(rng.normal(5, 1) + (shift_u if s == "test" else 0.0))
+            rows.append((i, s, v, u))
+        return spark.createDataFrame(rows, "event_id long, sample string, v double, u double")
+
+    h0 = spot_the_diff_drift_2d(mk(0.0), ("v", "u"), "event_id").collect()[0]
+    h1 = spot_the_diff_drift_2d(mk(3.0), ("v", "u"), "event_id").collect()[0]
+    assert h0["p_value"] > 0.01
+    assert h1["p_value"] < 1e-4
+    assert {"diff_hi_v", "diff_hi_u", "diff_lo_v", "diff_lo_u"} <= set(h1.asDict())
+    assert h1["diff_hi_u"] > 0 and h1["diff_lo_u"] < 0
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""

@@ -275,6 +275,53 @@ def main() -> None:
         "groupBy.",
     )
 
+    # 6k. closed-form deep-family analogs: fitted 1-row relations broadcast,
+    #     top-k via TakeOrderedAndProject, never a global sort
+    audit(
+        "llr_outlier",
+        qs["llr_outlier"](spark, SF),
+        requires=["TakeOrderedAndProject"],
+        forbids=["Exchange rangepartitioning", "CartesianProduct", "SortMergeJoin"],
+        note="LLR: range + moment relations are 1-row broadcasts; scoring is "
+        "codegen column math; top-k is per-partition + tiny merge.",
+    )
+    audit(
+        "vae_outlier_2d",
+        qs["vae_outlier_2d"](spark, SF),
+        requires=["TakeOrderedAndProject"],
+        forbids=["Exchange rangepartitioning", "CartesianProduct", "SortMergeJoin"],
+        note="pPCA/VAE: one moment aggregate broadcast back, analytic "
+        "expected-reconstruction-error as column math, distributed top-k.",
+    )
+    audit(
+        "adversarial_ae",
+        qs["adversarial_ae"](spark, SF),
+        requires=["TakeOrderedAndProject"],
+        forbids=["Exchange rangepartitioning", "CartesianProduct", "SortMergeJoin"],
+        note="AdversarialAE: NB moments + PCA recon params are 1-row "
+        "broadcasts; KL scoring is codegen; top-k distributed.",
+    )
+
+    # 6l. declarative online trajectories: NO Python stage anywhere — the
+    #     only shuffle is the per-key ordering the semantics require
+    audit(
+        "lsdd_online_hash",
+        qs["lsdd_online_hash"](spark, SF),
+        requires=["Window", "BroadcastHashJoin"],
+        forbids=["MapInPandas", "ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+        note="Online LSDD: quantized kernel features, sliding-window integer "
+        "sums, tiny per-key relations broadcast — whole-stage codegen end to "
+        "end, zero Python stages.",
+    )
+    audit(
+        "mahalanobis_online_hash",
+        qs["mahalanobis_online_hash"](spark, SF),
+        requires=["Window"],
+        forbids=["MapInPandas", "ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+        note="Online Mahalanobis: the online state is exclusive cumulative "
+        "sums — one per-key window pass, zero Python stages, no joins at all.",
+    )
+
     # 7. dedup minhash: signature agg is partial+final (no raw-shingle shuffle
     #    of text), candidate join is an equi-join
     audit(
