@@ -41,6 +41,7 @@ from alibi_detect_spark.operators.detect import (  # noqa: E402
     mmd_online_stats_over,
     score_rollup,
     seasonal_band_outliers,
+    ssa_outlier_hash_over,
     ssa_outlier_over,
     trend_band_outliers,
 )
@@ -405,6 +406,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # linear-AE analog (closed-form optimum = rank-k PCA reconstruction) with
     # the reference's outlier_perc top-feature-error aggregation; rows-only
     # (eigendecomposition), NumPy parity + behavioral pytest cover numerics
+    # closed-form 2-feature OutlierAE with the outlier_perc top-feature-error
+    # aggregation — the hash-checkable instance of the rank-k variant below
+    q["ae_outlier_2d"] = lambda s, sf: outlier.ae_outlier_2feat(
+        _t(s, sf, "events").withColumn("u", (F.col("user_id") % 100).cast("double")),
+        ("value", "u"),
+        "event_id",
+    )
     q["ae_outlier"] = lambda s, sf: outlier.ae_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=4, outlier_perc=50.0
     )
@@ -455,6 +463,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).where(fin("ssa_score"))
 
     q["ssa_outlier"] = ssa_outlier
+
+    # window-2 SSA reconstruction scoring: closed-form principal direction
+    # over lag pairs + Hankel diagonal average — the hash-checkable instance
+    # of the Seq2Seq analog (general-window seeded variant above stays
+    # rows-only)
+    q["ssa_outlier_hash"] = lambda s, sf: ssa_outlier_hash_over(
+        metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
+        "event_type",
+        "bucket_ts",
+        "avg_value",
+    )
 
     # OutlierProphet analog with the TREND component: two-segment OLS trend
     # (midpoint changepoint) from exact moments + seasonal residual bands
@@ -673,7 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3
         "llr_outlier", "vae_outlier_2d", "adversarial_ae", "model_distillation",
         "aegmm_outlier", "vaegmm_outlier", "lsdd_online_hash",
-        "mahalanobis_online_hash", "spot_the_diff_2d",
+        "mahalanobis_online_hash", "spot_the_diff_2d", "ssa_outlier_hash",
+        "ae_outlier_2d",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -880,6 +900,34 @@ SELECT v.event_type AS event_type, v.bucket_ts AS bucket_ts, v.y AS avg_value,
        round(greatest(v.y - band_hi, band_lo - v.y), 6) + 0.0 AS season_score,
        CAST(greatest(v.y - band_hi, band_lo - v.y) > 0 AS INTEGER) AS is_outlier
 FROM v JOIN b ON v.event_type = b.event_type AND v.phase = b.phase
+"""
+
+    # window-2 SSA: mirrors detect.ssa_outlier_hash_over layer-for-layer
+    o["ssa_outlier_hash"] = f"""
+WITH r AS ({_ROLLUP_1H}),
+b0 AS (SELECT event_type, bucket_ts, CAST(avg_value AS DOUBLE) AS x FROM r),
+b1 AS (SELECT *, lead(x) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS xn FROM b0),
+smo AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(x AS DECIMAL(18,4))*CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS saa,
+        CAST(sum(CAST(xn AS DECIMAL(18,4))*CAST(xn AS DECIMAL(18,4))) AS DOUBLE) AS sbb,
+        CAST(sum(CAST(x AS DECIMAL(18,4))*CAST(xn AS DECIMAL(18,4))) AS DOUBLE) AS sab
+        FROM b1 WHERE xn IS NOT NULL GROUP BY 1),
+smo2 AS (SELECT event_type, saa/n AS a, sbb/n AS b, sab/n AS c FROM smo),
+spar0 AS (SELECT event_type, a, c,
+          (a + b + sqrt((a-b)*(a-b) + 4.0*c*c)) / 2.0 AS lamp FROM smo2),
+spar AS (SELECT event_type, c AS w1, lamp - a AS w2,
+         c*c + (lamp - a)*(lamp - a) AS nrm2 FROM spar0),
+h0 AS (SELECT b1.event_type AS event_type, bucket_ts, x,
+       (x*w1 + xn*w2)*w1/nrm2 AS own,
+       (x*w1 + xn*w2)*w2/nrm2 AS prv_src
+       FROM b1 JOIN spar ON spar.event_type = b1.event_type),
+h1 AS (SELECT *, lag(prv_src) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS prv FROM h0),
+sc AS (SELECT event_type, bucket_ts, x,
+       CASE WHEN own IS NOT NULL AND prv IS NOT NULL THEN (own + prv)/2.0
+            WHEN own IS NOT NULL THEN own ELSE prv END AS recon FROM h1)
+SELECT event_type, bucket_ts,
+       round((x - recon)*(x - recon), 6) + 0.0 AS ssa2_score
+FROM sc WHERE round((x - recon)*(x - recon), 6) + 0.0 IS NOT NULL
 """
 
     o["trend_bands"] = f"""
@@ -1926,6 +1974,39 @@ sc AS (SELECT event_id,
   FROM wide CROSS JOIN par)
 SELECT event_id, llr_score, CAST(rk AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (ORDER BY llr_score DESC, event_id) AS rk FROM sc)
+WHERE rk <= 100
+"""
+
+    # 2-feature OutlierAE: rank-1 recon feature errors + greatest()
+    # aggregation (outlier_perc=50 with d=2) — mirrors outlier.ae_outlier_2feat
+    o["ae_outlier_2d"] = """
+WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+              CAST(sum(CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+              CAST(sum(CAST(value AS DECIMAL(18,4))*CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx_r,
+              CAST(sum(CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(18,4))*CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS syy_r,
+              CAST(sum(CAST(value AS DECIMAL(18,4))*CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sxy_r
+       FROM events),
+mo AS (SELECT sx/n AS mx, sy/n AS my,
+              sxx_r/n - (sx/n)*(sx/n) AS a,
+              syy_r/n - (sy/n)*(sy/n) AS b,
+              sxy_r/n - (sx/n)*(sy/n) AS c
+       FROM st),
+rp0 AS (SELECT mx, my, a, c,
+        (a + b + sqrt((a-b)*(a-b) + 4.0*c*c)) / 2.0 AS lamp FROM mo),
+rp AS (SELECT mx, my, c AS w1, lamp - a AS w2,
+       c*c + (lamp - a)*(lamp - a) AS nrm2 FROM rp0),
+d0 AS (SELECT event_id,
+       CAST(value AS DOUBLE) - mx AS dx,
+       CAST(user_id % 100 AS DOUBLE) - my AS dy,
+       w1, w2, nrm2 FROM events CROSS JOIN rp),
+d1 AS (SELECT event_id,
+       dx - (dx*w1 + dy*w2)*w1/nrm2 AS ev,
+       dy - (dx*w1 + dy*w2)*w2/nrm2 AS eu FROM d0),
+sc AS (SELECT event_id,
+       round(greatest(ev*ev, eu*eu), 6) + 0.0 AS ae2_score FROM d1)
+SELECT event_id, ae2_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY ae2_score DESC, event_id) AS rk FROM sc)
 WHERE rk <= 100
 """
 

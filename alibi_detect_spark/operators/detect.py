@@ -365,6 +365,76 @@ def lsdd_online_over(
     return df.select(key, order_col, *value_cols).groupBy(key).applyInPandas(fn, schema=schema)
 
 
+def ssa_outlier_hash_over(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+) -> DataFrame:
+    """Window-2 SSA reconstruction scoring — the SQL-oracle-checkable
+    instance of the OutlierSeq2Seq analog (``alibi_detect/od/seq2seq.py:
+    15-330``; general-window seeded variant :func:`ssa_outlier_over`). With
+    lag window L=2 the trajectory Gram matrix is 2×2, so the principal
+    direction is CLOSED FORM (the ``pca_outlier_2feat`` eigen recipe on
+    uncentered moments), the rank-1 window reconstruction is column math,
+    and the Hankel diagonal average of each timestep's ≤2 window
+    reconstructions is a ``lag`` window expression. Score = ``(x − x̂)²``
+    per timestep (``od/seq2seq.py:199 feature_score``).
+
+    Plan: per-key lead/lag windows (the one semantic shuffle), exact DECIMAL
+    pair moments broadcast back per key, whole-stage-codegen scoring — zero
+    Python stages."""
+    from pyspark.sql import Window
+
+    w0 = Window.partitionBy(key).orderBy(order_col)
+    base = df.select(
+        F.col(key), F.col(order_col), F.col(value).cast("double").alias("x")
+    ).withColumn("xn", F.lead("x").over(w0))
+    # lag-2 pair moments per key (uncentered Gram — SSA does not center)
+    da = F.col("x").cast("decimal(18,4)")
+    db = F.col("xn").cast("decimal(18,4)")
+    mo = base.where(F.col("xn").isNotNull()).groupBy(key).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(da * da).cast("double").alias("saa"),
+        F.sum(db * db).cast("double").alias("sbb"),
+        F.sum(da * db).cast("double").alias("sab"),
+    ).select(
+        key,
+        (F.col("saa") / F.col("n")).alias("a"),
+        (F.col("sbb") / F.col("n")).alias("b"),
+        (F.col("sab") / F.col("n")).alias("c"),
+    )
+    lamp = (F.col("a") + F.col("b") + F.sqrt(
+        (F.col("a") - F.col("b")) * (F.col("a") - F.col("b")) + F.lit(4.0) * F.col("c") * F.col("c")
+    )) / F.lit(2.0)
+    par = mo.select(
+        key,
+        F.col("c").alias("w1"),
+        (lamp - F.col("a")).alias("w2"),
+        (F.col("c") * F.col("c") + (lamp - F.col("a")) * (lamp - F.col("a"))).alias("nrm2"),
+    )
+    j = base.join(F.broadcast(par), key)
+    # rank-1 reconstruction of window t = (x_t, x_{t+1}); Hankelize: element
+    # t averages its own window's first component and the previous window's
+    # second component (edges take the single available contribution)
+    proj = F.col("x") * F.col("w1") + F.col("xn") * F.col("w2")
+    own = (proj * F.col("w1") / F.col("nrm2")).alias("own")  # window t, comp 1
+    prv_src = (proj * F.col("w2") / F.col("nrm2")).alias("prv_src")  # window t, comp 2
+    h = j.select(key, order_col, "x", own, prv_src).withColumn(
+        "prv", F.lag("prv_src").over(w0)
+    )
+    recon = (
+        F.when(F.col("own").isNotNull() & F.col("prv").isNotNull(),
+               (F.col("own") + F.col("prv")) / F.lit(2.0))
+        .when(F.col("own").isNotNull(), F.col("own"))
+        .otherwise(F.col("prv"))
+    )
+    d = F.col("x") - recon
+    return h.select(
+        key, order_col, (F.round(d * d, 6) + F.lit(0.0)).alias("ssa2_score")
+    ).where(F.col("ssa2_score").isNotNull())
+
+
 def lsdd_online_stats_over(
     df: DataFrame,
     key: str,

@@ -561,6 +561,68 @@ def gmm_outlier_2feat(
     return base.select(id_col, (F.round(nll, 6) + F.lit(0.0)).alias("gmm_nll"))
 
 
+def ae_outlier_2feat(
+    df,
+    cols: tuple[str, str],
+    id_col: str,
+    outlier_perc: float = 50.0,
+    top_k: int = 100,
+):
+    """OutlierAE over TWO features in CLOSED FORM — the hash-checkable
+    instance of ``alibi_detect/od/ae.py:14-260`` (the d-dimensional rank-k
+    variant is :func:`ae_outlier_scores`, rows-only). Encoder/decoder =
+    rank-1 PCA reconstruction (linear-AE optimum); feature-level scores
+    ``(x_f − recon_f)²`` (``od/ae.py:181``) and the ``outlier_perc``
+    instance aggregation (``od/ae.py:208``): with d=2, ``perc<=50`` keeps
+    the single worst feature error (``greatest``), ``perc>50`` averages
+    both. Returns the top-k ``(id, ae2_score, rank)``."""
+    from pyspark.sql import Window, functions as F
+
+    x, y = cols
+    dx_in = F.col(x).cast("decimal(18,4)")
+    dy_in = F.col(y).cast("decimal(18,4)")
+    mo = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx_in).cast("double").alias("sx"),
+        F.sum(dy_in).cast("double").alias("sy"),
+        F.sum(dx_in * dx_in).cast("double").alias("sxx_r"),
+        F.sum(dy_in * dy_in).cast("double").alias("syy_r"),
+        F.sum(dx_in * dy_in).cast("double").alias("sxy_r"),
+    ).select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sxx_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("a"),
+        (F.col("syy_r") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("b"),
+        (F.col("sxy_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("c"),
+    )
+    lamp = (F.col("a") + F.col("b") + F.sqrt(
+        (F.col("a") - F.col("b")) * (F.col("a") - F.col("b")) + F.lit(4.0) * F.col("c") * F.col("c")
+    )) / F.lit(2.0)
+    par = mo.select(
+        "mx",
+        "my",
+        F.col("c").alias("w1"),
+        (lamp - F.col("a")).alias("w2"),
+        (F.col("c") * F.col("c") + (lamp - F.col("a")) * (lamp - F.col("a"))).alias("nrm2"),
+    )
+    j = df.crossJoin(F.broadcast(par))
+    dx = F.col(x).cast("double") - F.col("mx")
+    dy = F.col(y).cast("double") - F.col("my")
+    proj = dx * F.col("w1") + dy * F.col("w2")
+    ev = dx - proj * F.col("w1") / F.col("nrm2")
+    eu = dy - proj * F.col("w2") / F.col("nrm2")
+    fv = ev * ev
+    fu = eu * eu
+    score = F.greatest(fv, fu) if outlier_perc <= 50.0 else (fv + fu) / F.lit(2.0)
+    scored = j.select(id_col, (F.round(score, 6) + F.lit(0.0)).alias("ae2_score"))
+    order = [F.col("ae2_score").desc(), F.col(id_col)]
+    top = scored.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "ae2_score", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def aegmm_features(
     df,
     cols: tuple[str, str],

@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "svm_outlier",
     "llr_outlier",
     "vae_outlier_2d",
+    "ae_outlier_2d",
+    "spot_the_diff_2d",
+    "ssa_outlier_hash",
     "adversarial_ae",
     "model_distillation",
     "aegmm_outlier",

