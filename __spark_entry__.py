@@ -419,6 +419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lof_outlier"] = lambda s, sf: outlier.lof_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, k=10
     )
+    # 2-landmark Nyström kernel-PCA — the hash-checkable kPCA instance
+    q["kpca_outlier_2c"] = lambda s, sf: outlier.kpca_outlier_2land(
+        _t(s, sf, "events").withColumn("u", (F.col("user_id") % 100).cast("double")),
+        ("value", "u"),
+        "event_id",
+    )
     q["kpca_outlier"] = lambda s, sf: outlier.kernel_pca_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=4
     )
@@ -693,7 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llr_outlier", "vae_outlier_2d", "adversarial_ae", "model_distillation",
         "aegmm_outlier", "vaegmm_outlier", "lsdd_online_hash",
         "mahalanobis_online_hash", "spot_the_diff_2d", "ssa_outlier_hash",
-        "ae_outlier_2d",
+        "ae_outlier_2d", "kpca_outlier_2c",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -1974,6 +1980,54 @@ sc AS (SELECT event_id,
   FROM wide CROSS JOIN par)
 SELECT event_id, llr_score, CAST(rk AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (ORDER BY llr_score DESC, event_id) AS rk FROM sc)
+WHERE rk <= 100
+"""
+
+    # 2-landmark Nyström kPCA: md5-priority landmarks, Σ-var bandwidth, then
+    # the pca_outlier_2d closed-form chain on the kernel features — mirrors
+    # outlier.kpca_outlier_2land
+    o["kpca_outlier_2c"] = """
+WITH kb AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
+                   CAST(user_id % 100 AS DOUBLE) AS u FROM events),
+twol AS (SELECT v, u, row_number() OVER (ORDER BY md5('kpca:'||CAST(event_id AS VARCHAR)), event_id) AS rn
+         FROM (SELECT * FROM kb ORDER BY md5('kpca:'||CAST(event_id AS VARCHAR)), event_id LIMIT 2)),
+land AS (SELECT max(CASE WHEN rn=1 THEN v END) AS l1v,
+                max(CASE WHEN rn=1 THEN u END) AS l1u,
+                max(CASE WHEN rn=2 THEN v END) AS l2v,
+                max(CASE WHEN rn=2 THEN u END) AS l2u FROM twol),
+gsb AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+        CAST(sum(CAST(v AS DECIMAL(18,4))*CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS svv,
+        CAST(sum(CAST(u AS DECIMAL(18,4))) AS DOUBLE) AS su,
+        CAST(sum(CAST(u AS DECIMAL(18,4))*CAST(u AS DECIMAL(18,4))) AS DOUBLE) AS suu
+        FROM kb),
+gsv AS (SELECT (svv/n - (sv/n)*(sv/n)) + (suu/n - (su/n)*(su/n)) + 1e-9 AS s2 FROM gsb),
+feat AS (SELECT event_id,
+         exp(-((v - l1v)*(v - l1v) + (u - l1u)*(u - l1u))/(2.0*s2)) AS f1,
+         exp(-((v - l2v)*(v - l2v) + (u - l2u)*(u - l2u))/(2.0*s2)) AS f2
+         FROM kb CROSS JOIN land CROSS JOIN gsv),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(CAST(f1 AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+              CAST(sum(CAST(f2 AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+              CAST(sum(CAST(f1 AS DECIMAL(18,4))*CAST(f1 AS DECIMAL(18,4))) AS DOUBLE) AS sxx_r,
+              CAST(sum(CAST(f2 AS DECIMAL(18,4))*CAST(f2 AS DECIMAL(18,4))) AS DOUBLE) AS syy_r,
+              CAST(sum(CAST(f1 AS DECIMAL(18,4))*CAST(f2 AS DECIMAL(18,4))) AS DOUBLE) AS sxy_r
+       FROM feat),
+mo AS (SELECT sx/n AS mx, sy/n AS my,
+              sxx_r/n - (sx/n)*(sx/n) AS a,
+              syy_r/n - (sy/n)*(sy/n) AS b,
+              sxy_r/n - (sx/n)*(sy/n) AS c
+       FROM st),
+mo2 AS (SELECT mx, my, a, c,
+               (a + b - sqrt((a-b)*(a-b) + 4.0*c*c)) / 2.0 AS lam
+        FROM mo),
+sc AS (SELECT event_id,
+              round(((f1 - mx)*c + (f2 - my)*(lam - a))
+                    * ((f1 - mx)*c + (f2 - my)*(lam - a))
+                    / (c*c + (lam - a)*(lam - a)), 6) AS kpca2_score
+       FROM feat CROSS JOIN mo2)
+SELECT event_id, kpca2_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY kpca2_score DESC, event_id) AS rk FROM sc)
 WHERE rk <= 100
 """
 

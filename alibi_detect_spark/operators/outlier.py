@@ -623,6 +623,72 @@ def ae_outlier_2feat(
     )
 
 
+def kpca_outlier_2land(
+    df,
+    cols: tuple[str, str],
+    id_col: str,
+    top_k: int = 100,
+    var_eps: float = 1e-9,
+):
+    """Kernel-PCA outlier score with a 2-landmark Nyström feature map — the
+    hash-checkable instance of ``alibi_detect/od/_pca.py`` kernel variant
+    (``od/pytorch/pca.py:173-268``; the d-dim seeded variant is
+    :func:`kernel_pca_outlier_scores`, rows-only). The reference fits PCA in
+    a kernel feature space; here the feature space is the 2-landmark Nyström
+    approximation ``φ(x) = [k(x, l₁), k(x, l₂)]`` with deterministic
+    md5-priority landmarks and a data-derived bandwidth ``σ² = Σ_d var_d``,
+    and the PCA-off-manifold score is :func:`pca_outlier_2feat`'s closed-form
+    2×2 eigendecomposition applied to φ — exact DECIMAL moments, broadcast
+    parameter relations, ``TakeOrderedAndProject`` top-k, no UDF."""
+    from pyspark.sql import Window, functions as F
+
+    x, y = cols
+    base = df.select(
+        F.col(id_col),
+        F.col(x).cast("double").alias("v"),
+        F.col(y).cast("double").alias("u"),
+    )
+    pr = F.md5(F.concat(F.lit("kpca:"), F.col(id_col).cast("string")))
+    two = base.withColumn("pr", pr).orderBy("pr", id_col).limit(2)
+    wv = Window.orderBy("pr", id_col)
+    land = (
+        two.withColumn("rn", F.row_number().over(wv))
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("l1v"),
+            F.max(F.when(F.col("rn") == 1, F.col("u"))).alias("l1u"),
+            F.max(F.when(F.col("rn") == 2, F.col("v"))).alias("l2v"),
+            F.max(F.when(F.col("rn") == 2, F.col("u"))).alias("l2u"),
+        )
+    )
+    dv = F.col("v").cast("decimal(18,4)")
+    du = F.col("u").cast("decimal(18,4)")
+    gs = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dv).cast("double").alias("sv"),
+        F.sum(dv * dv).cast("double").alias("svv"),
+        F.sum(du).cast("double").alias("su"),
+        F.sum(du * du).cast("double").alias("suu"),
+    ).select(
+        (
+            (F.col("svv") / F.col("n") - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n")))
+            + (F.col("suu") / F.col("n") - (F.col("su") / F.col("n")) * (F.col("su") / F.col("n")))
+            + F.lit(var_eps)
+        ).alias("s2")
+    )
+    j = base.crossJoin(F.broadcast(land)).crossJoin(F.broadcast(gs))
+    kern = lambda lv, lu: F.exp(  # noqa: E731
+        -((F.col("v") - F.col(lv)) * (F.col("v") - F.col(lv))
+          + (F.col("u") - F.col(lu)) * (F.col("u") - F.col(lu)))
+        / (F.lit(2.0) * F.col("s2"))
+    )
+    feats = j.select(
+        id_col, kern("l1v", "l1u").alias("f1"), kern("l2v", "l2u").alias("f2")
+    )
+    return pca_outlier_2feat(feats, ("f1", "f2"), [id_col], top_k).withColumnRenamed(
+        "pca2_score", "kpca2_score"
+    )
+
+
 def aegmm_features(
     df,
     cols: tuple[str, str],

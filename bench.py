@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "llr_outlier",
     "vae_outlier_2d",
     "ae_outlier_2d",
+    "kpca_outlier_2c",
     "spot_the_diff_2d",
     "ssa_outlier_hash",
     "adversarial_ae",

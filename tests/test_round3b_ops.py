@@ -252,6 +252,18 @@ def test_ae_2feat_outlier_perc_semantics(spark):
     assert top[0]["event_id"] == 0
 
 
+def test_kpca_2land_flags_nonlinear_outlier(spark):
+    """2-landmark Nyström kPCA: points off the data manifold score high in
+    the kernel feature space; repartitioning does not change the top-k."""
+    from alibi_detect_spark.operators.outlier import kpca_outlier_2land
+
+    df = _manifold_with_adv(spark, n=1200, n_adv=5, seed=13)
+    a = kpca_outlier_2land(df, ("v", "u"), "event_id").collect()
+    assert set(range(5)) <= {r["event_id"] for r in a[:20]}
+    b = kpca_outlier_2land(df.repartition(16, "u"), ("v", "u"), "event_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""
