@@ -456,3 +456,124 @@ def lsdd_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+MAHA_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("bucket_ts", LongType()),
+        StructField("maha_score", DoubleType()),
+    ]
+)
+MAHA_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sv", LongType()),
+        StructField("svv", LongType()),
+        StructField("su", LongType()),
+        StructField("suu", LongType()),
+        StructField("svu", LongType()),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+
+def mahalanobis_stream(
+    rollup: DataFrame,
+    value_cols: tuple[str, str] = ("sum_n_tok", "v2"),
+    warmup: int = 30,
+    quant: int = 10_000,
+    var_eps: float = 1e-9,
+) -> DataFrame:
+    """Stateful streaming online-Mahalanobis — the streaming twin of
+    :func:`..operators.detect.mahalanobis_online_stats_over`. The carried
+    state is SIX integers (the exact quantized prefix moments) + a
+    high-water timestamp: because the online state collapses to prefix sums,
+    the state store holds no window buffer at all, and the stream reproduces
+    the batch trajectory bit-for-bit under any micro-batch slicing (the
+    moments are exact integers, the scalar math is the identical IEEE
+    expression tree)."""
+    vcol, ucol = value_cols
+    q = float(quant)
+
+    def fn(key, pdf_iter, state):
+        (source,) = key
+        if state.exists:
+            n0, sv, svv, su, suu, svu, last_ts = state.get
+        else:
+            n0, sv, svv, su, suu, svu, last_ts = 0, 0, 0, 0, 0, 0, -(2**62)
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            whole = pd.concat(chunks).sort_values("bucket_ts", kind="mergesort")
+            whole = whole[whole["bucket_ts"] > last_ts]
+            if len(whole):
+                v = whole[vcol].to_numpy(dtype=np.float64)
+                u = whole[ucol].to_numpy(dtype=np.float64)
+                vq = np.round(v * quant).astype(np.int64)
+                uq = np.round(u * quant).astype(np.int64)
+
+                def cum(base, arr):
+                    # object dtype = arbitrary-precision Python ints: the
+                    # second-moment cumsums overflow int64 for large values
+                    # (the batch twin accumulates in DECIMAL(38,0)); then
+                    # convert each exact integer to its nearest double —
+                    # bit-identical to the batch's decimal→double cast,
+                    # BEFORE any division (int/float true division is
+                    # correctly rounded and would differ by 1 ulp)
+                    c = np.concatenate(
+                        [np.zeros(1, dtype=object), np.cumsum(arr.astype(object))]
+                    )[:-1]
+                    exact = base + c
+                    return exact, np.array([float(t) for t in exact], dtype=np.float64)
+
+                pv = vq.astype(object)
+                pu = uq.astype(object)
+                csv_i, csv = cum(sv, pv)
+                csvv_i, csvv = cum(svv, pv * pv)
+                csu_i, csu = cum(su, pu)
+                csuu_i, csuu = cum(suu, pu * pu)
+                csvu_i, csvu = cum(svu, pv * pu)
+                cn = n0 + np.arange(len(v), dtype=np.int64)
+                cond = cn >= warmup
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    nn = cn.astype(np.float64)
+                    mv = csv / (nn * q)
+                    mu = csu / (nn * q)
+                    a = (csvv / (nn * q * q) - mv * mv) + var_eps
+                    b = (csuu / (nn * q * q) - mu * mu) + var_eps
+                    c = csvu / (nn * q * q) - mv * mu
+                    det = a * b - c * c
+                    dx = v - mv
+                    dy = u - mu
+                    d2 = (b * dx * dx - 2.0 * c * dx * dy + a * dy * dy) / det
+                sc = np.round(d2, 6) + 0.0
+                n0 = int(n0 + len(v))
+                sv = int(csv_i[-1] + pv[-1])
+                svv = int(csvv_i[-1] + pv[-1] * pv[-1])
+                su = int(csu_i[-1] + pu[-1])
+                suu = int(csuu_i[-1] + pu[-1] * pu[-1])
+                svu = int(csvu_i[-1] + pv[-1] * pu[-1])
+                if max(abs(svv), abs(suu), abs(svu)) >= 2**62:
+                    raise OverflowError(
+                        "mahalanobis_stream moment state exceeds int64 — lower "
+                        "`quant` for this value scale (state carries exact "
+                        "integers in a LongType store)"
+                    )
+                last_ts = int(whole["bucket_ts"].iloc[-1])
+                if cond.any():
+                    yield pd.DataFrame(
+                        {
+                            "source": source,
+                            "bucket_ts": whole["bucket_ts"].to_numpy(dtype=np.int64)[cond],
+                            "maha_score": sc[cond],
+                        }
+                    )
+        state.update((n0, sv, svv, su, suu, svu, last_ts))
+
+    return rollup.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=MAHA_OUT_SCHEMA,
+        stateStructType=MAHA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -264,6 +264,68 @@ def test_kpca_2land_flags_nonlinear_outlier(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_mahalanobis_stream_bitmatches_batch(spark, tmp_path):
+    """Streaming online-Mahalanobis (six-integer prefix-moment state)
+    reproduces the batch operator bit-for-bit across micro-batches."""
+    import os
+
+    from alibi_detect_spark.operators.detect import mahalanobis_online_stats_over
+    from alibi_detect_spark.operators.rollup import rollup_tier1
+    from alibi_detect_spark.streaming.rollup_stream import mahalanobis_stream
+    from alibi_detect_spark.synth import SynthConfig, synth_batch
+
+    tmp = str(tmp_path)
+    cfg = SynthConfig(n_rows=40_000, n_sources=4, rows_per_bucket=64)
+    raw = spark.createDataFrame(
+        synth_batch(np.arange(0, 40_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    rollup = rollup_tier1(raw, "1h").toPandas().sort_values(["source", "bucket_ts"])
+    rollup["v2"] = rollup["n_docs"].astype(np.float64)
+    rollup["sum_n_tok"] = rollup["sum_n_tok"].astype(np.float64)
+
+    batch = (
+        mahalanobis_online_stats_over(
+            spark.createDataFrame(rollup),
+            "source",
+            "bucket_ts",
+            ("sum_n_tok", "v2"),
+            quant=100,  # sum_n_tok ~5e4: keep second moments well inside int64
+        )
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+    )
+
+    cut = rollup["bucket_ts"].median()
+    os.makedirs(f"{tmp}/min", exist_ok=True)
+    rollup[rollup["bucket_ts"] <= cut].to_parquet(f"{tmp}/min/p0.parquet", index=False)
+    rollup[rollup["bucket_ts"] > cut].to_parquet(f"{tmp}/min/p1.parquet", index=False)
+    src = (
+        spark.readStream.schema(
+            "source string, bucket_ts long, n_docs long, sum_n_tok double,"
+            " min_n_tok int, max_n_tok int, mean_n_tok double, gapfilled boolean, v2 double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/min")
+    )
+    q = (
+        mahalanobis_stream(src, value_cols=("sum_n_tok", "v2"), quant=100)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/mout")
+        .option("checkpointLocation", f"{tmp}/mckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{tmp}/mout").toPandas().sort_values(["source", "bucket_ts"])
+    assert len(got) == len(batch) > 0
+    assert np.array_equal(got["bucket_ts"].to_numpy(), batch["bucket_ts"].to_numpy())
+    assert np.array_equal(
+        got["maha_score"].to_numpy(np.float64).view(np.uint64),
+        batch["maha_score"].to_numpy(np.float64).view(np.uint64),
+    )
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""
