@@ -271,6 +271,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["iforest_outlier"] = lambda s, sf: outlier.iforest_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0
     )
+    # kernel-mean one-class scorer — the uniform-α (ν→1) closed-form limit
+    # of the OCSVM decision function; hash-checkable
+    q["ocsvm_mean"] = lambda s, sf: outlier.ocsvm_mean_2feat(
+        _t(s, sf, "events").withColumn("u", (F.col("user_id") % 100).cast("double")),
+        ("value", "u"),
+        "event_id",
+    )
     q["svm_outlier"] = lambda s, sf: outlier.svm_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0
     )
@@ -699,7 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llr_outlier", "vae_outlier_2d", "adversarial_ae", "model_distillation",
         "aegmm_outlier", "vaegmm_outlier", "lsdd_online_hash",
         "mahalanobis_online_hash", "spot_the_diff_2d", "ssa_outlier_hash",
-        "ae_outlier_2d", "kpca_outlier_2c",
+        "ae_outlier_2d", "kpca_outlier_2c", "ocsvm_mean",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -2028,6 +2035,38 @@ sc AS (SELECT event_id,
        FROM feat CROSS JOIN mo2)
 SELECT event_id, kpca2_score, CAST(rk AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (ORDER BY kpca2_score DESC, event_id) AS rk FROM sc)
+WHERE rk <= 100
+"""
+
+    # kernel-mean OCSVM: md5-priority landmarks, Σ-var bandwidth, codegen
+    # kernel sum — mirrors outlier.ocsvm_mean_2feat (same left-assoc sum)
+    _oc_lands = ",\n         ".join(
+        f"max(CASE WHEN rn={i} THEN v END) AS l{i}v,"
+        f" max(CASE WHEN rn={i} THEN u END) AS l{i}u"
+        for i in range(1, 9)
+    )
+    _oc_sum = " + ".join(
+        f"exp(-((v - l{i}v)*(v - l{i}v) + (u - l{i}u)*(u - l{i}u))/(2.0*s2))"
+        for i in range(1, 9)
+    )
+    o["ocsvm_mean"] = f"""
+WITH kb AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
+                   CAST(user_id % 100 AS DOUBLE) AS u FROM events),
+lrows AS (SELECT v, u, row_number() OVER (ORDER BY md5('ocsvm:'||CAST(event_id AS VARCHAR)), event_id) AS rn
+          FROM (SELECT * FROM kb ORDER BY md5('ocsvm:'||CAST(event_id AS VARCHAR)), event_id LIMIT 8)),
+land AS (SELECT {_oc_lands} FROM lrows),
+gsb AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+        CAST(sum(CAST(v AS DECIMAL(18,4))*CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS svv,
+        CAST(sum(CAST(u AS DECIMAL(18,4))) AS DOUBLE) AS su,
+        CAST(sum(CAST(u AS DECIMAL(18,4))*CAST(u AS DECIMAL(18,4))) AS DOUBLE) AS suu
+        FROM kb),
+gsv AS (SELECT (svv/n - (sv/n)*(sv/n)) + (suu/n - (su/n)*(su/n)) + 1e-9 AS s2 FROM gsb),
+sc AS (SELECT event_id,
+       round(-(({_oc_sum})/8.0), 6) + 0.0 AS ocsvm_score
+       FROM kb CROSS JOIN land CROSS JOIN gsv)
+SELECT event_id, ocsvm_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY ocsvm_score DESC, event_id) AS rk FROM sc)
 WHERE rk <= 100
 """
 

@@ -689,6 +689,82 @@ def kpca_outlier_2land(
     )
 
 
+def ocsvm_mean_2feat(
+    df,
+    cols: tuple[str, str],
+    id_col: str,
+    n_landmarks: int = 8,
+    top_k: int = 100,
+    var_eps: float = 1e-9,
+):
+    """One-class-SVM analog in CLOSED FORM — the hash-checkable instance of
+    ``alibi_detect/od/_svm.py:27-250`` (the Nyström + gradient-trained
+    variant is :func:`svm_outlier_scores`, rows-only). The reference scores
+    by the decision function ``w·φ(x) − ρ``; in the ν→1 limit every support
+    vector carries equal weight, so ``w`` is the kernel mean embedding of
+    the (landmark) sample and the score reduces to
+    ``−(1/m)·Σᵢ k(x, lᵢ)`` — no QP, no iteration. Landmarks are
+    deterministic md5-priority rows, bandwidth ``σ² = Σ_d var_d`` (exact
+    DECIMAL moments). Outliers (far from all landmarks) score near the
+    0 maximum; inliers go negative. Top-k by score (desc, ties by id).
+
+    Plan: a ``TakeOrdered`` 8-row landmark relation + 1-row bandwidth
+    relation broadcast onto the stream, codegen kernel sum,
+    ``TakeOrderedAndProject`` top-k — no UDF, no collect."""
+    from pyspark.sql import Window, functions as F
+
+    x, y = cols
+    base = df.select(
+        F.col(id_col),
+        F.col(x).cast("double").alias("v"),
+        F.col(y).cast("double").alias("u"),
+    )
+    pr = F.md5(F.concat(F.lit("ocsvm:"), F.col(id_col).cast("string")))
+    land_rows = base.withColumn("pr", pr).orderBy("pr", id_col).limit(n_landmarks)
+    wv = Window.orderBy("pr", id_col)
+    land = land_rows.withColumn("rn", F.row_number().over(wv)).agg(
+        *[
+            F.max(F.when(F.col("rn") == i, F.col(c))).alias(f"l{i}{c}")
+            for i in range(1, n_landmarks + 1)
+            for c in ("v", "u")
+        ]
+    )
+    dv = F.col("v").cast("decimal(18,4)")
+    du = F.col("u").cast("decimal(18,4)")
+    gs = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dv).cast("double").alias("sv"),
+        F.sum(dv * dv).cast("double").alias("svv"),
+        F.sum(du).cast("double").alias("su"),
+        F.sum(du * du).cast("double").alias("suu"),
+    ).select(
+        (
+            (F.col("svv") / F.col("n") - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n")))
+            + (F.col("suu") / F.col("n") - (F.col("su") / F.col("n")) * (F.col("su") / F.col("n")))
+            + F.lit(var_eps)
+        ).alias("s2")
+    )
+    j = base.crossJoin(F.broadcast(land)).crossJoin(F.broadcast(gs))
+    kern = lambda i: F.exp(  # noqa: E731
+        -(
+            (F.col("v") - F.col(f"l{i}v")) * (F.col("v") - F.col(f"l{i}v"))
+            + (F.col("u") - F.col(f"l{i}u")) * (F.col("u") - F.col(f"l{i}u"))
+        )
+        / (F.lit(2.0) * F.col("s2"))
+    )
+    total = kern(1)
+    for i in range(2, n_landmarks + 1):
+        total = total + kern(i)
+    score = -(total / F.lit(float(n_landmarks)))
+    scored = j.select(id_col, (F.round(score, 6) + F.lit(0.0)).alias("ocsvm_score"))
+    order = [F.col("ocsvm_score").desc(), F.col(id_col)]
+    top = scored.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "ocsvm_score", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def aegmm_features(
     df,
     cols: tuple[str, str],

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "vae_outlier_2d",
     "ae_outlier_2d",
     "kpca_outlier_2c",
+    "ocsvm_mean",
     "spot_the_diff_2d",
     "ssa_outlier_hash",
     "adversarial_ae",

@@ -326,6 +326,17 @@ def test_mahalanobis_stream_bitmatches_batch(spark, tmp_path):
     )
 
 
+def test_ocsvm_mean_flags_far_points(spark):
+    """Kernel-mean one-class score: points far from every landmark approach
+    the 0 maximum and top the ranking; inliers sit well below."""
+    from alibi_detect_spark.operators.outlier import ocsvm_mean_2feat
+
+    df = _cluster_with_ood(spark, n=1500, n_ood=6, seed=19)
+    top = ocsvm_mean_2feat(df, ("v", "u"), "event_id").collect()
+    assert set(range(6)) <= {r["event_id"] for r in top[:12]}
+    assert all(r["ocsvm_score"] <= 0.0 for r in top)
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""
