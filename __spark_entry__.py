@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("zl", "zr"),
         "event_id",
         n_iter=2,
+        materialize=True,
     )
     q["vaegmm_outlier"] = lambda s, sf: outlier.gmm_outlier_2feat(
         outlier.aegmm_features(
@@ -409,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("zl", "zr"),
         "event_id",
         n_iter=2,
+        materialize=True,
     )
     # linear-AE analog (closed-form optimum = rank-k PCA reconstruction) with
     # the reference's outlier_perc top-feature-error aggregation; rows-only
@@ -905,8 +907,8 @@ WITH r AS ({_ROLLUP_1H}),
 v AS (SELECT event_type, bucket_ts, avg_value AS y,
              CAST(bucket_ts/3600 AS BIGINT) % 24 AS phase FROM r),
 b AS (SELECT event_type, phase,
-             round(quantile_cont(y, 0.05), 6) AS band_lo,
-             round(quantile_cont(y, 0.95), 6) AS band_hi
+             round(quantile_cont(CAST(round(y*1000000) AS BIGINT), 0.05))/1000000.0 + 0.0 AS band_lo,
+             round(quantile_cont(CAST(round(y*1000000) AS BIGINT), 0.95))/1000000.0 + 0.0 AS band_hi
       FROM v GROUP BY 1, 2)
 SELECT v.event_type AS event_type, v.bucket_ts AS bucket_ts, v.y AS avg_value,
        band_lo, band_hi,
@@ -969,8 +971,8 @@ dt AS (SELECT b0.event_type AS event_type, bucket_ts, y, rn,
               CAST(bucket_ts/3600 AS BIGINT) % 24 AS phase
        FROM b0 JOIN cf2 ON cf2.event_type = b0.event_type AND cf2.seg = b0.seg),
 bd AS (SELECT event_type, phase,
-              round(quantile_cont(resid, 0.05), 6) AS band_lo,
-              round(quantile_cont(resid, 0.95), 6) AS band_hi
+              round(quantile_cont(CAST(round(resid*1000000) AS BIGINT), 0.05))/1000000.0 + 0.0 AS band_lo,
+              round(quantile_cont(CAST(round(resid*1000000) AS BIGINT), 0.95))/1000000.0 + 0.0 AS band_hi
        FROM dt GROUP BY 1, 2)
 SELECT dt.event_type AS event_type, dt.bucket_ts AS bucket_ts, dt.y AS avg_value,
        round(dt.trend, 6) + 0.0 AS trend,

@@ -156,9 +156,16 @@ def seasonal_band_outliers(
     broadcast-able join back; everything whole-stage codegen."""
     phase = (F.col("bucket_ts") / bucket_seconds).cast("long") % period_buckets
     vals = rollup.select(key, "bucket_ts", F.col(value).alias("y"), phase.alias("phase"))
-    bands = vals.groupBy(key, "phase").agg(
-        F.round(F.expr(f"percentile(y, {q_lo})"), 6).alias("band_lo"),
-        F.round(F.expr(f"percentile(y, {q_hi})"), 6).alias("band_hi"),
+    # percentile over exact MICRO-UNIT INTEGERS (y is 6dp by the rollup
+    # contract): an interpolation midpoint of two ints is an exactly
+    # representable x.5, so the band's 6dp rounding tie-breaks identically
+    # in both engines — percentile over raw doubles left a 1-ulp
+    # interpolation difference that flipped a half-boundary at small SF
+    bands = vals.withColumn("yq", F.round(F.col("y") * 1000000).cast("long")).groupBy(
+        key, "phase"
+    ).agg(
+        (F.round(F.expr(f"percentile(yq, {q_lo})")) / F.lit(1e6) + F.lit(0.0)).alias("band_lo"),
+        (F.round(F.expr(f"percentile(yq, {q_hi})")) / F.lit(1e6) + F.lit(0.0)).alias("band_hi"),
     )
     scored = vals.join(bands, [key, "phase"])
     score = F.greatest(F.col("y") - F.col("band_hi"), F.col("band_lo") - F.col("y"))
@@ -304,9 +311,14 @@ def trend_band_outliers(
         F.round(F.col("y") - (F.col("a") + F.col("b") * F.col("rn")), 6).alias("resid"),
         ((F.col("bucket_ts") / bucket_seconds).cast("long") % period_buckets).alias("phase"),
     )
-    bands = dt.groupBy(key, "phase").agg(
-        F.round(F.expr(f"percentile(resid, {q_lo})"), 6).alias("band_lo"),
-        F.round(F.expr(f"percentile(resid, {q_hi})"), 6).alias("band_hi"),
+    # micro-unit integer percentile: see seasonal_band_outliers — midpoint
+    # interpolation ties become exactly representable halves, identical in
+    # both engines (resid is already rounded to 6dp)
+    bands = dt.withColumn("rq", F.round(F.col("resid") * 1000000).cast("long")).groupBy(
+        key, "phase"
+    ).agg(
+        (F.round(F.expr(f"percentile(rq, {q_lo})")) / F.lit(1e6) + F.lit(0.0)).alias("band_lo"),
+        (F.round(F.expr(f"percentile(rq, {q_hi})")) / F.lit(1e6) + F.lit(0.0)).alias("band_hi"),
     )
     scored = dt.join(bands, [key, "phase"])
     score = F.greatest(F.col("resid") - F.col("band_hi"), F.col("band_lo") - F.col("resid"))

@@ -464,6 +464,7 @@ def gmm_outlier_2feat(
     n_iter: int = 2,
     quant: int = 1000,
     eps: float = 1e-9,
+    materialize: bool = False,
 ):
     """GMM outlier score over TWO features with a QUANTIZED-EM fit — the
     oracle-checkable instance of ``alibi_detect/od/_gmm.py:22-231`` semantics
@@ -498,6 +499,11 @@ def gmm_outlier_2feat(
         F.round(F.col(x).cast("double") * quant).cast("long").alias("vq"),
         F.round(F.col(y).cast("double") * quant).cast("long").alias("uq"),
     )
+    if materialize:
+        # each EM iteration is an action over `base`; when the input is an
+        # expensive derived relation (the AEGMM feature map re-derives the
+        # eigenbasis per scan), cut the lineage once up front
+        base = base.localCheckpoint()
     big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
 
     gl = base.agg(
