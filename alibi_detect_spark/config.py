@@ -20,16 +20,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from .operators import ann, classifier, dedup, drift, outlier, sample, textstats
+from .operators import adversarial, ann, classifier, dedup, drift, llr, outlier, sample, textstats
 from .operators.detect import (
     cvm_online_over,
     ewma_over,
     fet_online_over,
     lsdd_online_over,
+    lsdd_online_stats_over,
     mahalanobis_online_over,
+    mahalanobis_online_stats_over,
     mmd_online_stats_over,
     score_rollup,
     seasonal_band_outliers,
+    ssa_outlier_hash_over,
     trend_band_outliers,
 )
 from .operators.gapfill import gapfill
@@ -65,6 +68,19 @@ REGISTRY: dict[str, Callable] = {
     "lsdd_perm_test_hash": drift.lsdd_perm_test_hash,
     "preprocess_drift_hashproj": drift.preprocess_drift_hashproj,
     "gmm_outlier_2feat": outlier.gmm_outlier_2feat,
+    "pca_outlier_2feat": outlier.pca_outlier_2feat,
+    "vae_outlier_2feat": outlier.vae_outlier_2feat,
+    "ae_outlier_2feat": outlier.ae_outlier_2feat,
+    "aegmm_features": outlier.aegmm_features,
+    "kpca_outlier_2land": outlier.kpca_outlier_2land,
+    "ocsvm_mean_2feat": outlier.ocsvm_mean_2feat,
+    "llr_outlier_2feat": llr.llr_outlier_2feat,
+    "adversarial_ae_2feat": adversarial.adversarial_ae_2feat,
+    "model_distillation_2feat": adversarial.model_distillation_2feat,
+    "spot_the_diff_drift_2d": classifier.spot_the_diff_drift_2d,
+    "lsdd_online_stats_over": lsdd_online_stats_over,
+    "mahalanobis_online_stats_over": mahalanobis_online_stats_over,
+    "ssa_outlier_hash_over": ssa_outlier_hash_over,
     "drift_corrections": drift.drift_corrections,
     "reservoir_sample": sample.reservoir_sample,
     "infer_threshold": outlier.infer_threshold,

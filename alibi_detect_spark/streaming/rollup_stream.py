@@ -577,3 +577,135 @@ def mahalanobis_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+LSDDH_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("bucket_ts", LongType()),
+        StructField("lsdd_stat", DoubleType()),
+    ]
+)
+LSDDH_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("c1", DoubleType()),
+        StructField("c2", DoubleType()),
+        StructField("sr1", LongType()),
+        StructField("sr2", LongType()),
+        StructField("tail1", ArrayType(LongType())),
+        StructField("tail2", ArrayType(LongType())),
+        StructField("pend", ArrayType(DoubleType())),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+
+def lsdd_hash_stream(
+    rollup: DataFrame,
+    value_col: str = "sum_n_tok",
+    n_ref: int = 64,
+    window_size: int = 10,
+    sigma: float = 5.0,
+    lam: float = 0.25,
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Stateful streaming twin of
+    :func:`..operators.detect.lsdd_online_stats_over` (the declarative
+    closed-form online LSDD). Carried state: the two kernel centers, the
+    exact integer reference sums, the last ``window_size − 1`` quantized
+    kernel features, and (during the first two rows only) the pending raw
+    values the centers are derived from. Because every sum is an exact
+    integer and the scalar chain mirrors the batch operator's expression
+    tree, the stream reproduces the batch trajectory bit-for-bit under any
+    micro-batch slicing."""
+    two_sig2 = 2.0 * sigma * sigma
+    four_sig2 = 4.0 * sigma * sigma
+    a = 1.0 + lam
+    keep = window_size - 1
+
+    def fn(key, pdf_iter, state):
+        (source,) = key
+        if state.exists:
+            n0, c1, c2, sr1, sr2, tail1, tail2, pend, last_ts = state.get
+            tail1, tail2, pend = list(tail1), list(tail2), list(pend)
+        else:
+            n0, c1, c2 = 0, float("nan"), float("nan")
+            sr1, sr2, tail1, tail2, pend, last_ts = 0, 0, [], [], [], -(2**62)
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            whole = pd.concat(chunks).sort_values("bucket_ts", kind="mergesort")
+            whole = whole[whole["bucket_ts"] > last_ts]
+            if len(whole):
+                v = whole[value_col].to_numpy(dtype=np.float64)
+                ts = whole["bucket_ts"].to_numpy(dtype=np.int64)
+                last_ts = int(ts[-1])
+                # rows seen before the centers are fixed wait in `pend`
+                # (both centers come from the first two rows in order)
+                n_seen = n0 + len(pend)
+                if n_seen < 2:
+                    need = 2 - n_seen
+                    pend.extend(float(x) for x in v[:need])
+                    n_seen = n0 + len(pend)
+                    if n_seen < 2:
+                        state.update((n0, c1, c2, sr1, sr2, tail1, tail2, pend, last_ts))
+                        return
+                    c1, c2 = pend[0], pend[1]
+                    # reprocess the pended rows plus the rest of this batch;
+                    # pended rows are ref rows 1..2 — they never emit, so
+                    # their timestamps are placeholders
+                    v = np.concatenate([np.array(pend, dtype=np.float64), v[need:]])
+                    ts = np.concatenate([np.zeros(len(pend), dtype=np.int64), ts[need:]])
+                    pend = []
+                kq1 = np.round(np.exp(-((v - c1) * (v - c1)) / two_sig2) * quant).astype(np.int64)
+                kq2 = np.round(np.exp(-((v - c2) * (v - c2)) / two_sig2) * quant).astype(np.int64)
+                rn = n0 + np.arange(len(v), dtype=np.int64) + 1
+                refm = rn <= n_ref
+                sr1 = int(sr1 + kq1[refm].sum())
+                sr2 = int(sr2 + kq2[refm].sum())
+                sm = rn > n_ref
+                if sm.any():
+                    h1 = np.concatenate([np.array(tail1, dtype=np.int64), kq1[sm]])
+                    h2 = np.concatenate([np.array(tail2, dtype=np.int64), kq2[sm]])
+                    t0 = len(tail1)
+                    cs1 = np.concatenate([[0], np.cumsum(h1)])
+                    cs2 = np.concatenate([[0], np.cumsum(h2)])
+                    idx = t0 + np.arange(int(sm.sum()))
+                    full = idx >= window_size - 1
+                    if full.any():
+                        i = idx[full]
+                        w1 = (cs1[i + 1] - cs1[i + 1 - window_size]).astype(np.float64)
+                        w2 = (cs2[i + 1] - cs2[i + 1 - window_size]).astype(np.float64)
+                        e = float(np.exp(-((c1 - c2) * (c1 - c2)) / four_sig2))
+                        det = (a * a) - e * e
+                        b11 = a / det
+                        b12 = (-e) / det
+                        bh11 = b11 + b12 * e
+                        bh12 = b11 * e + b12
+                        bhb11 = bh11 * b11 + bh12 * b12
+                        bhb12 = bh11 * b12 + bh12 * b11
+                        m11 = 2.0 * b11 - bhb11
+                        m12 = 2.0 * b12 - bhb12
+                        hh1 = sr1 / (n_ref * float(quant)) - w1 / (window_size * float(quant))
+                        hh2 = sr2 / (n_ref * float(quant)) - w2 / (window_size * float(quant))
+                        stat = m11 * (hh1 * hh1 + hh2 * hh2) + 2.0 * m12 * hh1 * hh2
+                        out_ts = ts[sm][full]
+                        yield pd.DataFrame(
+                            {
+                                "source": source,
+                                "bucket_ts": out_ts,
+                                "lsdd_stat": np.round(stat, 9) + 0.0,
+                            }
+                        )
+                    tail1 = [int(x) for x in h1[-keep:]]
+                    tail2 = [int(x) for x in h2[-keep:]]
+                n0 = int(rn[-1])
+        state.update((n0, c1, c2, sr1, sr2, tail1, tail2, pend, last_ts))
+
+    return rollup.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=LSDDH_OUT_SCHEMA,
+        stateStructType=LSDDH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -337,6 +337,69 @@ def test_ocsvm_mean_flags_far_points(spark):
     assert all(r["ocsvm_score"] <= 0.0 for r in top)
 
 
+def test_lsdd_hash_stream_bitmatches_batch(spark, tmp_path):
+    """Streaming twin of the declarative online LSDD (centers + integer ref
+    sums + kq tail in the state store) reproduces the batch operator
+    bit-for-bit — including when a micro-batch boundary splits the first two
+    rows the centers derive from."""
+    import os
+
+    from alibi_detect_spark.operators.detect import lsdd_online_stats_over
+    from alibi_detect_spark.operators.rollup import rollup_tier1
+    from alibi_detect_spark.streaming.rollup_stream import lsdd_hash_stream
+    from alibi_detect_spark.synth import SynthConfig, synth_batch
+
+    tmp = str(tmp_path)
+    cfg = SynthConfig(n_rows=40_000, n_sources=4, rows_per_bucket=64)
+    raw = spark.createDataFrame(
+        synth_batch(np.arange(0, 40_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    rollup = rollup_tier1(raw, "1h").toPandas().sort_values(["source", "bucket_ts"])
+
+    batch = (
+        lsdd_online_stats_over(
+            spark.createDataFrame(rollup), "source", "bucket_ts", "mean_n_tok",
+            n_ref=40, window_size=6,
+        )
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+    )
+
+    lo = rollup["bucket_ts"].min()
+    cut0, cut1 = lo + 3600, rollup["bucket_ts"].median()
+    os.makedirs(f"{tmp}/lin", exist_ok=True)
+    rollup[rollup["bucket_ts"] < cut0].to_parquet(f"{tmp}/lin/p0.parquet", index=False)
+    rollup[(rollup["bucket_ts"] >= cut0) & (rollup["bucket_ts"] <= cut1)].to_parquet(
+        f"{tmp}/lin/p1.parquet", index=False
+    )
+    rollup[rollup["bucket_ts"] > cut1].to_parquet(f"{tmp}/lin/p2.parquet", index=False)
+    src = (
+        spark.readStream.schema(
+            "source string, bucket_ts long, n_docs long, sum_n_tok long,"
+            " min_n_tok int, max_n_tok int, mean_n_tok double, gapfilled boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/lin")
+    )
+    q = (
+        lsdd_hash_stream(src, value_col="mean_n_tok", n_ref=40, window_size=6)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/lhout")
+        .option("checkpointLocation", f"{tmp}/lhckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{tmp}/lhout").toPandas().sort_values(["source", "bucket_ts"])
+    assert len(got) == len(batch) > 0
+    assert np.array_equal(got["bucket_ts"].to_numpy(), batch["bucket_ts"].to_numpy())
+    assert np.array_equal(
+        got["lsdd_stat"].to_numpy(np.float64).view(np.uint64),
+        batch["lsdd_stat"].to_numpy(np.float64).view(np.uint64),
+    )
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""

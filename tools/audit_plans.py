@@ -322,6 +322,41 @@ def main() -> None:
         "sums — one per-key window pass, zero Python stages, no joins at all.",
     )
 
+    audit(
+        "model_distillation",
+        qs["model_distillation"](spark, SF),
+        requires=["TakeOrderedAndProject"],
+        forbids=["Exchange rangepartitioning", "CartesianProduct", "SortMergeJoin"],
+        note="ModelDistillation: teacher probs and the 2-coefficient ridge "
+        "student are broadcast 1-row relations; KL scoring is codegen.",
+    )
+    audit(
+        "kpca_outlier_2c",
+        qs["kpca_outlier_2c"](spark, SF),
+        requires=["TakeOrderedAndProject"],
+        forbids=["Exchange rangepartitioning", "CartesianProduct", "SortMergeJoin"],
+        note="Nyström kPCA: 2-row landmark + 1-row bandwidth relations "
+        "broadcast, kernel features + eigen chain in codegen, top-k "
+        "distributed.",
+    )
+    audit(
+        "ocsvm_mean",
+        qs["ocsvm_mean"](spark, SF),
+        requires=["TakeOrderedAndProject"],
+        forbids=["Exchange rangepartitioning", "CartesianProduct", "SortMergeJoin"],
+        note="Kernel-mean OCSVM: 8-landmark relation broadcast, codegen "
+        "kernel sum, distributed top-k.",
+    )
+    audit(
+        "ssa_outlier_hash",
+        qs["ssa_outlier_hash"](spark, SF),
+        requires=["Window"],
+        forbids=["MapInPandas", "ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+        note="Window-2 SSA: per-key lead/lag windows + broadcast per-key "
+        "eigen parameters — zero Python stages; the only shuffle is the "
+        "per-key ordering the semantics require.",
+    )
+
     # 7. dedup minhash: signature agg is partial+final (no raw-shingle shuffle
     #    of text), candidate join is an equi-join
     audit(
