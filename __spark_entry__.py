@@ -268,6 +268,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["spot_the_diff_2d"] = lambda s, sf: classifier.spot_the_diff_drift_2d(
         _events_u(s, sf), ("value", "u"), "event_id"
     )
+    # deterministic isolation forest (md5 global-range cuts) — the
+    # hash-checkable isolation instance; the sklearn-faithful seeded variant
+    # stays in iforest_outlier below (rows-only)
+    q["iforest_hash"] = lambda s, sf: outlier.iforest_hash_2feat(
+        _t(s, sf, "events").withColumn("u", (F.col("user_id") % 100).cast("double")),
+        ("value", "u"),
+        "event_id",
+    )
     q["iforest_outlier"] = lambda s, sf: outlier.iforest_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0
     )
@@ -708,7 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llr_outlier", "vae_outlier_2d", "adversarial_ae", "model_distillation",
         "aegmm_outlier", "vaegmm_outlier", "lsdd_online_hash",
         "mahalanobis_online_hash", "spot_the_diff_2d", "ssa_outlier_hash",
-        "ae_outlier_2d", "kpca_outlier_2c", "ocsvm_mean",
+        "ae_outlier_2d", "kpca_outlier_2c", "ocsvm_mean", "iforest_hash",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -1989,6 +1997,66 @@ sc AS (SELECT event_id,
   FROM wide CROSS JOIN par)
 SELECT event_id, llr_score, CAST(rk AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (ORDER BY llr_score DESC, event_id) AS rk FROM sc)
+WHERE rk <= 100
+"""
+
+    # deterministic isolation forest: md5 global-range cuts, isolation depth
+    # from leaf-relation prefix counts, sklearn c(n) normalization — mirrors
+    # outlier.iforest_hash_2feat (same md5 constants, same expression trees)
+    import hashlib as _hl
+
+    _IF_T, _IF_D = 2, 6
+    _if_bits = []
+    for _t in range(_IF_T):
+        _parts = []
+        for _lv in range(_IF_D):
+            _hd = _hl.md5(f"ift:{_t}:{_lv}".encode()).hexdigest()
+            _feat = int(_hd[:4], 16) % 2
+            _frac = (int(_hd[4:12], 16) % 1000000) / 1e6
+            _c0, _lo, _hi = ("v", "vmin", "vmax") if _feat == 0 else ("u", "umin", "umax")
+            _parts.append(
+                f"CASE WHEN {_c0} <= {_lo} + {_frac!r}*({_hi} - {_lo}) THEN '0' ELSE '1' END"
+            )
+        _if_bits.append("(" + " || ".join(_parts) + ")")
+
+    def _if_c(s):
+        return (
+            f"CASE WHEN {s} = 2.0 THEN 1.0 ELSE "
+            f"2.0*(ln({s} - 1.0) + 0.5772156649015329) - 2.0*({s} - 1.0)/{s} END"
+        )
+
+    def _if_tree_ctes(t):
+        pcs = ",\n".join(
+            f"pc{t}_{lv} AS (SELECT substr(leaf,1,{lv}) AS p{lv}, sum(sD) AS s{lv} "
+            f"FROM lc{t} GROUP BY 1)"
+            for lv in range(1, _IF_D)
+        )
+        joins = " ".join(
+            f"JOIN pc{t}_{lv} ON substr(leaf,1,{lv}) = pc{t}_{lv}.p{lv}"
+            for lv in range(1, _IF_D)
+        )
+        whens = " ".join(f"WHEN s{lv} = 1.0 THEN {float(lv)!r}" for lv in range(1, _IF_D))
+        return f"""lc{t} AS (SELECT b{t} AS leaf, CAST(count(*) AS DOUBLE) AS sD FROM bt GROUP BY 1),
+{pcs},
+h{t}m AS (SELECT leaf, CASE {whens}
+          WHEN sD = 1.0 THEN {float(_IF_D)!r}
+          ELSE {float(_IF_D)!r} + ({_if_c('sD')}) END AS h{t}
+          FROM lc{t} {joins})"""
+
+    o["iforest_hash"] = f"""
+WITH kb AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
+                   CAST(user_id % 100 AS DOUBLE) AS u FROM events),
+rng AS (SELECT CAST(count(*) AS DOUBLE) AS nn, min(v) AS vmin, max(v) AS vmax,
+               min(u) AS umin, max(u) AS umax FROM kb),
+bt AS (SELECT event_id, v, u, nn, {_if_bits[0]} AS b0, {_if_bits[1]} AS b1
+       FROM kb CROSS JOIN rng),
+{_if_tree_ctes(0)},
+{_if_tree_ctes(1)},
+sc AS (SELECT event_id,
+       round(pow(2.0, -(((h0 + h1)/2.0) / ({_if_c('nn')}))), 6) + 0.0 AS if_score
+       FROM bt JOIN h0m ON bt.b0 = h0m.leaf JOIN h1m ON bt.b1 = h1m.leaf)
+SELECT event_id, if_score, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY if_score DESC, event_id) AS rk FROM sc)
 WHERE rk <= 100
 """
 

@@ -771,6 +771,105 @@ def ocsvm_mean_2feat(
     )
 
 
+def iforest_hash_2feat(
+    df,
+    cols: tuple[str, str],
+    id_col: str,
+    n_trees: int = 2,
+    depth: int = 6,
+    top_k: int = 100,
+):
+    """Isolation-forest scoring in CLOSED FORM — the hash-checkable instance
+    of ``alibi_detect/od/isolationforest.py:10-147`` (the sklearn-faithful
+    seeded variant is :func:`iforest_outlier_scores`, rows-only). Keeps the
+    isolation mechanism intact — random cuts, per-instance isolation depth,
+    the ``c(n)`` average-path normalization and the ``2^(−E[h]/c(n))``
+    score — with the two randomized choices pinned deterministic:
+
+    - each tree level's (feature, threshold) comes from ``md5('ift:t:l')``
+      — thresholds uniform over the GLOBAL feature range (a fixed-structure
+      random-cut tree: every instance's path is the same comparison
+      sequence, so the tree becomes a bit-string column);
+    - ``h(x)`` = the first level at which x's prefix cell contains exactly
+      one instance, else ``depth + c(leaf_size)`` (sklearn's
+      ``_average_path_length`` adjustment, ``c(2)=1``,
+      ``c(s)=2(ln(s−1)+γ)−2(s−1)/s``).
+
+    Plan shape at scale: one codegen pass builds the leaf bit-string per
+    tree, one tiny groupBy per tree (≤ 2^depth rows), prefix counts are
+    aggregations OVER THE LEAF RELATION (never the data), and the
+    (leaf → h) map broadcast-joins back — the corpus is scanned once per
+    tree aggregate plus once for scoring, with no wide shuffle."""
+    import hashlib
+
+    from pyspark.sql import Window, functions as F
+
+    gamma = 0.5772156649015329
+    x, y = cols
+    base = df.select(
+        F.col(id_col),
+        F.col(x).cast("double").alias("v"),
+        F.col(y).cast("double").alias("u"),
+    )
+    rng = base.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.min("u").alias("umin"),
+        F.max("u").alias("umax"),
+    )
+    j = base.crossJoin(F.broadcast(rng))
+    for t in range(n_trees):
+        bits = None
+        for lv in range(depth):
+            hd = hashlib.md5(f"ift:{t}:{lv}".encode()).hexdigest()
+            feat = int(hd[:4], 16) % 2
+            frac = (int(hd[4:12], 16) % 1000000) / 1e6
+            c0, lo, hi = ("v", "vmin", "vmax") if feat == 0 else ("u", "umin", "umax")
+            thr = F.col(lo) + F.lit(frac) * (F.col(hi) - F.col(lo))
+            bit = F.when(F.col(c0) <= thr, F.lit("0")).otherwise(F.lit("1"))
+            bits = bit if bits is None else F.concat(bits, bit)
+        j = j.withColumn(f"b{t}", bits)
+
+    def c_of(s):
+        return F.when(s == 2.0, F.lit(1.0)).otherwise(
+            F.lit(2.0) * (F.log(s - F.lit(1.0)) + F.lit(gamma))
+            - F.lit(2.0) * (s - F.lit(1.0)) / s
+        )
+
+    for t in range(n_trees):
+        bt = f"b{t}"
+        lc = j.groupBy(bt).agg(F.count(F.lit(1)).cast("double").alias("sD"))
+        m = lc.select(F.col(bt).alias("leaf"), "sD")
+        for lv in range(1, depth):
+            pc = lc.groupBy(F.substring(F.col(bt), 1, lv).alias(f"p{lv}")).agg(
+                F.sum("sD").alias(f"s{lv}")
+            )
+            m = m.join(
+                F.broadcast(pc), F.substring(F.col("leaf"), 1, lv) == F.col(f"p{lv}")
+            ).drop(f"p{lv}")
+        h = F.when(F.col("s1") == 1.0, F.lit(1.0))
+        for lv in range(2, depth):
+            h = h.when(F.col(f"s{lv}") == 1.0, F.lit(float(lv)))
+        h = h.when(F.col("sD") == 1.0, F.lit(float(depth))).otherwise(
+            F.lit(float(depth)) + c_of(F.col("sD"))
+        )
+        map_t = m.select("leaf", h.alias(f"h{t}"))
+        j = j.join(F.broadcast(map_t), j[bt] == map_t["leaf"]).drop("leaf")
+    avg_h = F.col("h0")
+    for t in range(1, n_trees):
+        avg_h = avg_h + F.col(f"h{t}")
+    avg_h = avg_h / F.lit(float(n_trees))
+    score = F.pow(F.lit(2.0), -(avg_h / c_of(F.col("nn"))))
+    scored = j.select(id_col, (F.round(score, 6) + F.lit(0.0)).alias("if_score"))
+    order = [F.col("if_score").desc(), F.col(id_col)]
+    top = scored.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "if_score", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def aegmm_features(
     df,
     cols: tuple[str, str],

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "ae_outlier_2d",
     "kpca_outlier_2c",
     "ocsvm_mean",
+    "iforest_hash",
     "spot_the_diff_2d",
     "ssa_outlier_hash",
     "adversarial_ae",

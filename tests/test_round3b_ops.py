@@ -400,6 +400,20 @@ def test_lsdd_hash_stream_bitmatches_batch(spark, tmp_path):
     )
 
 
+def test_iforest_hash_isolates_outliers(spark):
+    """Deterministic isolation forest: far-out points isolate at shallow
+    depth and get the top 2^(−h/c) scores; scores are partitioning-invariant
+    (counts are exact)."""
+    from alibi_detect_spark.operators.outlier import iforest_hash_2feat
+
+    df = _cluster_with_ood(spark, n=1500, n_ood=6, seed=29)
+    a = iforest_hash_2feat(df, ("v", "u"), "event_id").collect()
+    assert set(range(6)) <= {r["event_id"] for r in a[:25]}
+    assert all(0.0 < r["if_score"] <= 1.0 for r in a)
+    b = iforest_hash_2feat(df.repartition(16, "u"), ("v", "u"), "event_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""
