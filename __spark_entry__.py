@@ -289,6 +289,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["svm_outlier"] = lambda s, sf: outlier.svm_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0
     )
+    # ContextMMD closed-form instance: rank-2 feature maps + Woodbury → 2×2
+    # moment algebra, md5 permutations — hash-checkable end to end
+    q["context_mmd_hash"] = lambda s, sf: drift.context_mmd_hash(
+        _events_labeled(s, sf).withColumn(
+            "c_hour",
+            (F.unix_timestamp("ts").cast("long") % 86400).cast("double") / F.lit(3600.0),
+        ),
+        "value",
+        "c_hour",
+        order_col="event_id",
+    )
     # context = hour-of-day; tests drift of P(value | time-of-day) while
     # staying insensitive to pure time-of-day distribution shift
     q["context_mmd_drift"] = lambda s, sf: drift.context_mmd_drift(
@@ -717,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aegmm_outlier", "vaegmm_outlier", "lsdd_online_hash",
         "mahalanobis_online_hash", "spot_the_diff_2d", "ssa_outlier_hash",
         "ae_outlier_2d", "kpca_outlier_2c", "ocsvm_mean", "iforest_hash",
+        "context_mmd_hash",
         "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
@@ -2348,6 +2360,88 @@ sc AS (SELECT strm.k AS k, o,
 SELECT k AS event_type, o AS event_id,
        round(m11*(h1*h1 + h2*h2) + 2.0*m12*h1*h2, 9) + 0.0 AS lsdd_stat
 FROM sc
+"""
+
+    # ContextMMD closed form: identical layer program as the Spark side
+    # (drift.cmmd2_layers strings → sequential CTEs)
+    from alibi_detect_spark.operators.drift import cmmd2_layers as _cm_layers
+
+    _CM_NPS, _CM_NH, _CM_P = 256, 64, 32
+
+    def _cm_feat(tag, col, lo, hi):
+        return (
+            f"CAST(round(exp(-(({col} - ({lo} + {{frac}}*({hi} - {lo})))"
+            f"*({col} - ({lo} + {{frac}}*({hi} - {lo}))))"
+            f"/(2.0*(({hi} - {lo})/4.0 + 1e-9)*(({hi} - {lo})/4.0 + 1e-9)))*1000000) AS BIGINT)"
+        ).replace("{frac}", "{frac}")
+
+    _cm_feats = ",\n       ".join(
+        _cm_feat(t, c, lo, hi).format(frac=fr) + f" AS {t}{s2}"
+        for t, c, lo, hi in (("p", "cx", "c_lo", "c_hi"), ("q", "v", "v_lo", "v_hi"))
+        for s2, fr in (("a", 0.25), ("b", 0.75))
+    )
+    _cm_mom_cols = []
+    for _p in (0, 1):
+        _cm_mom_cols.append(
+            f"CAST(sum(CASE WHEN lab = {_p} THEN 1 ELSE 0 END) AS DOUBLE) AS n{_p}"
+        )
+        for _nm, _e in (
+            (f"s{_p}aa", "pa*pa"), (f"s{_p}ab", "pa*pb"), (f"s{_p}bb", "pb*pb"),
+            (f"g{_p}aa", "qa*pa"), (f"g{_p}ab", "qa*pb"),
+            (f"g{_p}ba", "qb*pa"), (f"g{_p}bb", "qb*pb"),
+        ):
+            _cm_mom_cols.append(
+                f"CAST(sum(CASE WHEN lab = {_p} THEN {_e} END) AS DOUBLE)"
+                f"/1000000000000.0 AS {_nm}"
+            )
+    _cm_layer_ctes = ",\n".join(
+        f"ly{i} AS (SELECT *, {f} AS {n} FROM {'momh' if i == 0 else f'ly{i-1}'})"
+        for i, (n, f) in enumerate(_cm_layers(0.25))
+    )
+    _cm_last = f"ly{len(_cm_layers(0.25)) - 1}"
+    o["context_mmd_hash"] = f"""
+WITH lab0 AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+                     CAST(value AS DOUBLE) AS v,
+                     CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS DOUBLE)/3600.0 AS cx,
+                     event_id AS o
+              FROM events),
+rnk AS (SELECT *, row_number() OVER (PARTITION BY s ORDER BY o) AS rn FROM lab0
+        QUALIFY rn <= {_CM_NPS + _CM_NH}),
+pooled AS (SELECT * FROM rnk WHERE rn <= {_CM_NPS}),
+held AS (SELECT * FROM rnk WHERE rn > {_CM_NPS}),
+rng AS (SELECT min(v) AS v_lo, max(v) AS v_hi, min(cx) AS c_lo, max(cx) AS c_hi FROM pooled),
+heldf AS (SELECT {_cm_feats} FROM held CROSS JOIN rng),
+hrel AS (SELECT CAST(count(*) AS DOUBLE) AS hm,
+         CAST(sum(pa*pa) AS DOUBLE)/1000000000000.0 AS haa,
+         CAST(sum(pa*pb) AS DOUBLE)/1000000000000.0 AS hab,
+         CAST(sum(pb*pb) AS DOUBLE)/1000000000000.0 AS hbb
+         FROM heldf),
+pooledf AS (SELECT s, rn,
+        CASE WHEN s = 'ref' THEN rn ELSE {_CM_NPS} + rn END AS gid,
+        CASE WHEN s = 'ref' THEN 1 ELSE 0 END AS obs0,
+        {_cm_feats}
+        FROM pooled CROSS JOIN rng),
+n0o AS (SELECT count(*) AS n0_obs FROM pooledf WHERE s = 'ref'),
+perms AS (SELECT pooledf.*, pp.perm AS perm
+          FROM pooledf CROSS JOIN (SELECT unnest(generate_series(0, {_CM_P})) AS perm) pp),
+labd AS (SELECT *,
+         CASE WHEN perm = 0 THEN 1 - obs0
+              WHEN row_number() OVER (PARTITION BY perm
+                   ORDER BY md5(CAST(perm AS VARCHAR)||':'||CAST(gid AS VARCHAR)), gid)
+                   > (SELECT n0_obs FROM n0o) THEN 1 ELSE 0 END AS lab
+         FROM perms),
+momh0 AS (SELECT perm,
+         {",".join(_cm_mom_cols)}
+         FROM labd GROUP BY perm),
+momh AS (SELECT * FROM momh0 CROSS JOIN hrel),
+{_cm_layer_ctes},
+stats AS (SELECT perm, n0, n1, round(cmmd_raw, 9) + 0.0 AS st FROM {_cm_last}),
+obs AS (SELECT n0 AS n_ref_d, n1 AS n_test_d, st AS stat FROM stats WHERE perm = 0)
+SELECT CAST(n_ref_d AS BIGINT) AS n_ref, CAST(n_test_d AS BIGINT) AS n_test,
+       stat AS cmmd_stat,
+       round(avg(CASE WHEN stat <= st THEN 1.0 ELSE 0.0 END), 9) + 0.0 AS p_value
+FROM stats CROSS JOIN obs WHERE perm > 0
+GROUP BY 1, 2, 3
 """
 
     # pPCA/VAE: parameters and the analytic expected-reconstruction-error

@@ -962,3 +962,191 @@ def lsdd_perm_test(
     return sub.groupBy().applyInPandas(
         fn, schema="n_ref long, n_test long, lsdd_stat double, p_value double"
     )
+
+
+# ---------------------------------------------------------------------------
+# ContextMMDDrift closed-form instance
+# ---------------------------------------------------------------------------
+
+def cmmd2_layers(lam: float) -> list[tuple[str, str]]:
+    """The scalar chain from the 2×2 moment columns to the conditional-MMD
+    statistic, as (name, SQL-expression) layers. The SAME strings drive both
+    engines — Spark evaluates them with ``selectExpr``, the DuckDB oracle
+    wraps them in sequential CTEs — so the parse trees (and therefore the
+    IEEE evaluation order) are identical by construction.
+
+    Derivation: with rank-2 feature maps the context kernel is ``L = ΦΦᵀ``
+    and Woodbury collapses the reference's n×n ridge inverse
+    (``functions/context_mmd.py:99-101``) to a 2×2 solve:
+    ``A_s = Φ_h B_s Φ_sᵀ`` with ``B_s = (I − S_s M_s⁻¹)/c_s``,
+    ``M_s = c_s I + S_s``, ``S_s = Φ_sᵀΦ_s``, ``c_s = n_s λ``. The coupling
+    sums then reduce to ``Σ(K_ss' ∘ W_ss') = tr(G_s C_ss' G_s'ᵀ)/m`` with
+    ``G_s = Σ ψφᵀ`` and ``C_ss' = B_sᵀ (Φ_hᵀΦ_h) B_s'`` — every quantity a
+    2×2 matrix of exact-integer moments."""
+    lays: list[tuple[str, str]] = []
+    for p in (0, 1):
+        lays += [
+            (f"c{p}", f"(n{p}*{lam!r})"),
+            (f"det{p}", f"((c{p} + s{p}aa)*(c{p} + s{p}bb) - s{p}ab*s{p}ab)"),
+            (f"mi{p}aa", f"((c{p} + s{p}bb)/det{p})"),
+            (f"mi{p}ab", f"(-s{p}ab/det{p})"),
+            (f"mi{p}bb", f"((c{p} + s{p}aa)/det{p})"),
+            (f"sm{p}aa", f"(s{p}aa*mi{p}aa + s{p}ab*mi{p}ab)"),
+            (f"sm{p}ab", f"(s{p}aa*mi{p}ab + s{p}ab*mi{p}bb)"),
+            (f"sm{p}ba", f"(s{p}ab*mi{p}aa + s{p}bb*mi{p}ab)"),
+            (f"sm{p}bb", f"(s{p}ab*mi{p}ab + s{p}bb*mi{p}bb)"),
+            (f"b{p}aa", f"((1.0 - sm{p}aa)/c{p})"),
+            (f"b{p}ab", f"((0.0 - sm{p}ab)/c{p})"),
+            (f"b{p}ba", f"((0.0 - sm{p}ba)/c{p})"),
+            (f"b{p}bb", f"((1.0 - sm{p}bb)/c{p})"),
+            (f"hb{p}aa", f"(haa*b{p}aa + hab*b{p}ba)"),
+            (f"hb{p}ab", f"(haa*b{p}ab + hab*b{p}bb)"),
+            (f"hb{p}ba", f"(hab*b{p}aa + hbb*b{p}ba)"),
+            (f"hb{p}bb", f"(hab*b{p}ab + hbb*b{p}bb)"),
+        ]
+    for p, q in ((0, 0), (1, 1), (0, 1)):
+        lays += [
+            (f"cc{p}{q}aa", f"(b{p}aa*hb{q}aa + b{p}ba*hb{q}ba)"),
+            (f"cc{p}{q}ab", f"(b{p}aa*hb{q}ab + b{p}ba*hb{q}bb)"),
+            (f"cc{p}{q}ba", f"(b{p}ab*hb{q}aa + b{p}bb*hb{q}ba)"),
+            (f"cc{p}{q}bb", f"(b{p}ab*hb{q}ab + b{p}bb*hb{q}bb)"),
+            (
+                f"t{p}{q}",
+                f"((g{p}aa*(cc{p}{q}aa*g{q}aa + cc{p}{q}ab*g{q}ab)"
+                f" + g{p}ab*(cc{p}{q}ba*g{q}aa + cc{p}{q}bb*g{q}ab))"
+                f" + (g{p}ba*(cc{p}{q}aa*g{q}ba + cc{p}{q}ab*g{q}bb)"
+                f" + g{p}bb*(cc{p}{q}ba*g{q}ba + cc{p}{q}bb*g{q}bb)))",
+            ),
+        ]
+    lays.append(("cmmd_raw", "(t00/hm + t11/hm - 2.0*(t01/hm))"))
+    return lays
+
+
+def context_mmd_hash(
+    df: DataFrame,
+    value: str,
+    context: str,
+    sample: str = "sample",
+    n_per_side: int = 256,
+    n_held_per_side: int = 64,
+    lam: float = 0.25,
+    n_permutations: int = 32,
+    quant: int = 1_000_000,
+    order_col: str | None = None,
+) -> DataFrame:
+    """ContextMMDDrift in CLOSED FORM — the hash-checkable instance of
+    ``alibi_detect/cd/context_aware.py:18-171`` (estimator
+    ``functions/context_mmd.py:89-111``; the CV-λ median-heuristic variant
+    is :func:`context_mmd_drift`, rows-only). Pinned choices: rank-2 value
+    and context feature maps (RBF at the 25%/75% points of the pooled range,
+    bandwidth = range/4), fixed λ, deterministic head subsample + held
+    split, md5-derived permutations. Features are QUANTIZED to integers so
+    every moment is an exact order-free sum, and the scalar chain to the
+    statistic is the shared :func:`cmmd2_layers` string program — evaluated
+    by ``selectExpr`` here and by identical CTEs in the oracle.
+
+    Plan: two tiny per-side head subsamples, one broadcast parameter
+    relation, one P×n explode for the permutation relabelings, one
+    ``groupBy(perm)`` moment aggregate (P rows), then pure scalar layers.
+    Returns one row ``(n_ref, n_test, cmmd_stat, p_value)``."""
+    oc = order_col or value
+    w = Window.partitionBy("s").orderBy("o")
+    base = (
+        df.select(
+            F.col(sample).alias("s"),
+            F.col(value).cast("double").alias("v"),
+            F.col(context).cast("double").alias("cx"),
+            F.col(oc).alias("o"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_side + n_held_per_side)
+    )
+    pooled = base.where(F.col("rn") <= n_per_side)
+    held = base.where(F.col("rn") > n_per_side)
+    rng = pooled.agg(
+        F.min("v").alias("v_lo"),
+        F.max("v").alias("v_hi"),
+        F.min("cx").alias("c_lo"),
+        F.max("cx").alias("c_hi"),
+    )
+
+    def feats(rel):
+        j = rel.crossJoin(F.broadcast(rng))
+        out = j
+        for tag, col, lo, hi in (("p", "cx", "c_lo", "c_hi"), ("q", "v", "v_lo", "v_hi")):
+            width = (F.col(hi) - F.col(lo)) / F.lit(4.0) + F.lit(1e-9)
+            for sub, frac in (("a", 0.25), ("b", 0.75)):
+                ctr = F.col(lo) + F.lit(frac) * (F.col(hi) - F.col(lo))
+                k = F.exp(
+                    -((F.col(col) - ctr) * (F.col(col) - ctr))
+                    / (F.lit(2.0) * width * width)
+                )
+                out = out.withColumn(f"{tag}{sub}", F.round(k * quant).cast("long"))
+        return out
+
+    qd = float(quant) * float(quant)
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    hrel = feats(held).agg(
+        F.count(F.lit(1)).cast("double").alias("hm"),
+        (big(F.col("pa") * F.col("pa")) / F.lit(qd)).alias("haa"),
+        (big(F.col("pa") * F.col("pb")) / F.lit(qd)).alias("hab"),
+        (big(F.col("pb") * F.col("pb")) / F.lit(qd)).alias("hbb"),
+    )
+    pf = feats(pooled).withColumn(
+        "gid",
+        F.when(F.col("s") == "ref", F.col("rn")).otherwise(F.lit(n_per_side) + F.col("rn")),
+    ).withColumn("obs0", (F.col("s") == "ref").cast("int"))
+    n0_obs = pf.where(F.col("obs0") == 1).count()
+    perms = pf.crossJoin(
+        F.broadcast(
+            pf.sparkSession.range(0, n_permutations + 1).select(F.col("id").cast("int").alias("perm"))
+        )
+    )
+    wperm = Window.partitionBy("perm").orderBy(
+        F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("gid").cast("string"))),
+        "gid",
+    )
+    lab = perms.withColumn(
+        "lab",
+        F.when(F.col("perm") == 0, F.lit(1) - F.col("obs0")).otherwise(
+            (F.row_number().over(wperm) > n0_obs).cast("int")
+        ),
+    )
+    agg = [F.count(F.lit(1)).cast("double").alias("ntot")]
+    for p in (0, 1):
+        m = F.col("lab") == p
+        agg.append(F.sum(m.cast("long")).cast("double").alias(f"n{p}"))
+        for nm, e in (
+            (f"s{p}aa", F.col("pa") * F.col("pa")),
+            (f"s{p}ab", F.col("pa") * F.col("pb")),
+            (f"s{p}bb", F.col("pb") * F.col("pb")),
+            (f"g{p}aa", F.col("qa") * F.col("pa")),
+            (f"g{p}ab", F.col("qa") * F.col("pb")),
+            (f"g{p}ba", F.col("qb") * F.col("pa")),
+            (f"g{p}bb", F.col("qb") * F.col("pb")),
+        ):
+            agg.append((big(F.when(m, e)) / F.lit(qd)).alias(nm))
+    mom = lab.groupBy("perm").agg(*agg).crossJoin(F.broadcast(hrel))
+    out = mom
+    for name, formula in cmmd2_layers(lam):
+        out = out.selectExpr("*", f"{formula} AS {name}")
+    stats = out.select("perm", "n0", "n1", (F.round(F.col("cmmd_raw"), 9) + F.lit(0.0)).alias("st"))
+    obs = stats.where(F.col("perm") == 0).select(
+        F.col("n0").alias("n_ref_d"), F.col("n1").alias("n_test_d"), F.col("st").alias("stat")
+    )
+    pv = (
+        stats.where(F.col("perm") > 0)
+        .crossJoin(F.broadcast(obs))
+        .agg(
+            F.first("n_ref_d").alias("n_ref_d"),
+            F.first("n_test_d").alias("n_test_d"),
+            F.first("stat").alias("stat"),
+            F.avg((F.col("stat") <= F.col("st")).cast("double")).alias("p_value"),
+        )
+    )
+    return pv.select(
+        F.col("n_ref_d").cast("long").alias("n_ref"),
+        F.col("n_test_d").cast("long").alias("n_test"),
+        F.col("stat").alias("cmmd_stat"),
+        (F.round("p_value", 9) + F.lit(0.0)).alias("p_value"),
+    )

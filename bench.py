@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "classifier_drift",
     "classifier_drift_lr",
     "context_mmd_drift",
+    "context_mmd_hash",
     "drift_fdr",
     "mahalanobis_topk",
     "knn_outlier",

@@ -414,6 +414,32 @@ def test_iforest_hash_isolates_outliers(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def _ctx_df(spark, shift: float, ctx_shift: float = 0.0, n: int = 900, seed: int = 37):
+    """value = f(context) + noise; `shift` moves P(v|c) for the test sample,
+    `ctx_shift` moves only the context marginal (conditional law unchanged)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        s = "ref" if i % 2 == 0 else "test"
+        c = float(rng.uniform(0, 24) + (ctx_shift if s == "test" else 0.0))
+        v = float(10.0 + 2.0 * np.sin(c / 4.0) + rng.normal(0, 0.5)
+                  + (shift if s == "test" else 0.0))
+        rows.append((i, s, v, c))
+    return spark.createDataFrame(rows, "event_id long, sample string, v double, cx double")
+
+
+def test_context_mmd_hash_h0_h1(spark):
+    """cd/context_aware.py contract: conditional shift in P(v|c) fires,
+    matched conditionals do not."""
+    from alibi_detect_spark.operators.drift import context_mmd_hash
+
+    h0 = context_mmd_hash(_ctx_df(spark, 0.0), "v", "cx", order_col="event_id").collect()[0]
+    h1 = context_mmd_hash(_ctx_df(spark, 3.0), "v", "cx", order_col="event_id").collect()[0]
+    assert h0["p_value"] > 0.05
+    assert h1["p_value"] <= 1.0 / 32 + 1e-9
+    assert h1["cmmd_stat"] > h0["cmmd_stat"]
+
+
 def test_llr_partitioning_invariance(spark):
     """Exact DECIMAL moments + md5 mutation make the fit order-free: any
     repartitioning yields the identical top-k relation."""
