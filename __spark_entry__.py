@@ -733,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
         "media_features", "contamination_check", "weighted_sample",
         # code changed in round 3
+        "seasonal_bands",
         "pca_outlier_2d", "ann_ivf_build", "knn_outlier_predict",
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
         "dedup_simhash_pairs", "dedup_embedding_cosine", "classifier_drift_lr",
