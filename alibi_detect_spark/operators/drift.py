@@ -1048,7 +1048,15 @@ def context_mmd_hash(
     Plan: two tiny per-side head subsamples, one broadcast parameter
     relation, one P×n explode for the permutation relabelings, one
     ``groupBy(perm)`` moment aggregate (P rows), then pure scalar layers.
-    Returns one row ``(n_ref, n_test, cmmd_stat, p_value)``."""
+    Returns one row ``(n_ref, n_test, cmmd_stat, p_value)``.
+
+    Fidelity note: the permutation calibration keeps the test VALID under
+    any context distribution (labels are exchangeable under H0), but the
+    rank-2 context representation is coarser than the reference's full RBF
+    conditional embedding, so insensitivity to a pure context-MARGINAL
+    shift is only approximate here — the reference-faithful property lives
+    in :func:`context_mmd_drift` (rows-only, pytest-covered including the
+    context-shift-quiet case)."""
     oc = order_col or value
     w = Window.partitionBy("s").orderBy("o")
     base = (

@@ -357,6 +357,25 @@ def main() -> None:
         "per-key ordering the semantics require.",
     )
 
+    audit(
+        "iforest_hash",
+        qs["iforest_hash"](spark, SF),
+        requires=["BroadcastHashJoin", "TakeOrderedAndProject"],
+        forbids=["CartesianProduct", "SortMergeJoin", "MapInPandas"],
+        note="Deterministic isolation forest: leaf bit-strings in codegen, "
+        "per-tree leaf counts are tiny aggregates, the (leaf → h) maps "
+        "broadcast back — the corpus never wide-shuffles.",
+    )
+    audit(
+        "context_mmd_hash",
+        qs["context_mmd_hash"](spark, SF),
+        requires=["HashAggregate"],
+        forbids=["MapInPandas", "ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+        note="ContextMMD closed form: bounded head subsamples, one P×n "
+        "explode, one groupBy(perm) moment aggregate, then pure scalar "
+        "layers — zero Python stages.",
+    )
+
     # 7. dedup minhash: signature agg is partial+final (no raw-shingle shuffle
     #    of text), candidate join is an equi-join
     audit(
