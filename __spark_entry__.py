@@ -2395,11 +2395,14 @@ FROM sc
                 f"CAST(sum(CASE WHEN lab = {_p} THEN {_e} END) AS DOUBLE)"
                 f"/1000000000000.0 AS {_nm}"
             )
+    _cm_groups = _cm_layers(0.25)
     _cm_layer_ctes = ",\n".join(
-        f"ly{i} AS (SELECT *, {f} AS {n} FROM {'momh' if i == 0 else f'ly{i-1}'})"
-        for i, (n, f) in enumerate(_cm_layers(0.25))
+        f"ly{i} AS (SELECT *, "
+        + ", ".join(f"{f} AS {n}" for n, f in grp)
+        + f" FROM {'momh' if i == 0 else f'ly{i - 1}'})"
+        for i, grp in enumerate(_cm_groups)
     )
-    _cm_last = f"ly{len(_cm_layers(0.25)) - 1}"
+    _cm_last = f"ly{len(_cm_groups) - 1}"
     o["context_mmd_hash"] = f"""
 WITH lab0 AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
                      CAST(value AS DOUBLE) AS v,
@@ -2422,14 +2425,13 @@ pooledf AS (SELECT s, rn,
         CASE WHEN s = 'ref' THEN 1 ELSE 0 END AS obs0,
         {_cm_feats}
         FROM pooled CROSS JOIN rng),
-n0o AS (SELECT count(*) AS n0_obs FROM pooledf WHERE s = 'ref'),
 perms AS (SELECT pooledf.*, pp.perm AS perm
           FROM pooledf CROSS JOIN (SELECT unnest(generate_series(0, {_CM_P})) AS perm) pp),
 labd AS (SELECT *,
          CASE WHEN perm = 0 THEN 1 - obs0
               WHEN row_number() OVER (PARTITION BY perm
                    ORDER BY md5(CAST(perm AS VARCHAR)||':'||CAST(gid AS VARCHAR)), gid)
-                   > (SELECT n0_obs FROM n0o) THEN 1 ELSE 0 END AS lab
+                   > sum(obs0) OVER (PARTITION BY perm) THEN 1 ELSE 0 END AS lab
          FROM perms),
 momh0 AS (SELECT perm,
          {",".join(_cm_mom_cols)}

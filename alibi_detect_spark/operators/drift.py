@@ -983,33 +983,41 @@ def cmmd2_layers(lam: float) -> list[tuple[str, str]]:
     sums then reduce to ``Σ(K_ss' ∘ W_ss') = tr(G_s C_ss' G_s'ᵀ)/m`` with
     ``G_s = Σ ψφᵀ`` and ``C_ss' = B_sᵀ (Φ_hᵀΦ_h) B_s'`` — every quantity a
     2×2 matrix of exact-integer moments."""
-    lays: list[tuple[str, str]] = []
+    grp: list[list[tuple[str, str]]] = [[], [], [], [], [], [], [], [], []]
     for p in (0, 1):
-        lays += [
-            (f"c{p}", f"(n{p}*{lam!r})"),
-            (f"det{p}", f"((c{p} + s{p}aa)*(c{p} + s{p}bb) - s{p}ab*s{p}ab)"),
+        grp[0] += [(f"c{p}", f"(n{p}*{lam!r})")]
+        grp[1] += [(f"det{p}", f"((c{p} + s{p}aa)*(c{p} + s{p}bb) - s{p}ab*s{p}ab)")]
+        grp[2] += [
             (f"mi{p}aa", f"((c{p} + s{p}bb)/det{p})"),
             (f"mi{p}ab", f"(-s{p}ab/det{p})"),
             (f"mi{p}bb", f"((c{p} + s{p}aa)/det{p})"),
+        ]
+        grp[3] += [
             (f"sm{p}aa", f"(s{p}aa*mi{p}aa + s{p}ab*mi{p}ab)"),
             (f"sm{p}ab", f"(s{p}aa*mi{p}ab + s{p}ab*mi{p}bb)"),
             (f"sm{p}ba", f"(s{p}ab*mi{p}aa + s{p}bb*mi{p}ab)"),
             (f"sm{p}bb", f"(s{p}ab*mi{p}ab + s{p}bb*mi{p}bb)"),
+        ]
+        grp[4] += [
             (f"b{p}aa", f"((1.0 - sm{p}aa)/c{p})"),
             (f"b{p}ab", f"((0.0 - sm{p}ab)/c{p})"),
             (f"b{p}ba", f"((0.0 - sm{p}ba)/c{p})"),
             (f"b{p}bb", f"((1.0 - sm{p}bb)/c{p})"),
+        ]
+        grp[5] += [
             (f"hb{p}aa", f"(haa*b{p}aa + hab*b{p}ba)"),
             (f"hb{p}ab", f"(haa*b{p}ab + hab*b{p}bb)"),
             (f"hb{p}ba", f"(hab*b{p}aa + hbb*b{p}ba)"),
             (f"hb{p}bb", f"(hab*b{p}ab + hbb*b{p}bb)"),
         ]
     for p, q in ((0, 0), (1, 1), (0, 1)):
-        lays += [
+        grp[6] += [
             (f"cc{p}{q}aa", f"(b{p}aa*hb{q}aa + b{p}ba*hb{q}ba)"),
             (f"cc{p}{q}ab", f"(b{p}aa*hb{q}ab + b{p}ba*hb{q}bb)"),
             (f"cc{p}{q}ba", f"(b{p}ab*hb{q}aa + b{p}bb*hb{q}ba)"),
             (f"cc{p}{q}bb", f"(b{p}ab*hb{q}ab + b{p}bb*hb{q}bb)"),
+        ]
+        grp[7] += [
             (
                 f"t{p}{q}",
                 f"((g{p}aa*(cc{p}{q}aa*g{q}aa + cc{p}{q}ab*g{q}ab)"
@@ -1018,8 +1026,8 @@ def cmmd2_layers(lam: float) -> list[tuple[str, str]]:
                 f" + g{p}bb*(cc{p}{q}ba*g{q}ba + cc{p}{q}bb*g{q}bb)))",
             ),
         ]
-    lays.append(("cmmd_raw", "(t00/hm + t11/hm - 2.0*(t01/hm))"))
-    return lays
+    grp[8].append(("cmmd_raw", "(t00/hm + t11/hm - 2.0*(t01/hm))"))
+    return grp
 
 
 def context_mmd_hash(
@@ -1104,7 +1112,6 @@ def context_mmd_hash(
         "gid",
         F.when(F.col("s") == "ref", F.col("rn")).otherwise(F.lit(n_per_side) + F.col("rn")),
     ).withColumn("obs0", (F.col("s") == "ref").cast("int"))
-    n0_obs = pf.where(F.col("obs0") == 1).count()
     perms = pf.crossJoin(
         F.broadcast(
             pf.sparkSession.range(0, n_permutations + 1).select(F.col("id").cast("int").alias("perm"))
@@ -1114,10 +1121,11 @@ def context_mmd_hash(
         F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("gid").cast("string"))),
         "gid",
     )
+    wp_all = Window.partitionBy("perm")
     lab = perms.withColumn(
         "lab",
         F.when(F.col("perm") == 0, F.lit(1) - F.col("obs0")).otherwise(
-            (F.row_number().over(wperm) > n0_obs).cast("int")
+            (F.row_number().over(wperm) > F.sum("obs0").over(wp_all)).cast("int")
         ),
     )
     agg = [F.count(F.lit(1)).cast("double").alias("ntot")]
@@ -1136,8 +1144,8 @@ def context_mmd_hash(
             agg.append((big(F.when(m, e)) / F.lit(qd)).alias(nm))
     mom = lab.groupBy("perm").agg(*agg).crossJoin(F.broadcast(hrel))
     out = mom
-    for name, formula in cmmd2_layers(lam):
-        out = out.selectExpr("*", f"{formula} AS {name}")
+    for group in cmmd2_layers(lam):
+        out = out.selectExpr("*", *[f"{formula} AS {name}" for name, formula in group])
     stats = out.select("perm", "n0", "n1", (F.round(F.col("cmmd_raw"), 9) + F.lit(0.0)).alias("st"))
     obs = stats.where(F.col("perm") == 0).select(
         F.col("n0").alias("n_ref_d"), F.col("n1").alias("n_test_d"), F.col("st").alias("stat")
