@@ -839,7 +839,10 @@ def iforest_hash_2feat(
 
     for t in range(n_trees):
         bt = f"b{t}"
-        lc = j.groupBy(bt).agg(F.count(F.lit(1)).cast("double").alias("sD"))
+        # materialize the ≤2^depth-row leaf-count relation: the prefix-count
+        # self-joins below would otherwise re-derive the whole upstream scan
+        # per join (≈100 parquet scans in the final plan without this)
+        lc = j.groupBy(bt).agg(F.count(F.lit(1)).cast("double").alias("sD")).localCheckpoint()
         m = lc.select(F.col(bt).alias("leaf"), "sD")
         for lv in range(1, depth):
             pc = lc.groupBy(F.substring(F.col(bt), 1, lv).alias(f"p{lv}")).agg(
