@@ -200,6 +200,10 @@ def spot_the_diff_drift(
         big(f1 * yy).alias("s1y"),
         big(f2 * yy).alias("s2y"),
     )
+    # n_folds-row relation consumed by three branches (totals, coef,
+    # final_coef) — materialize once so each branch does not re-derive the
+    # full feature scan
+    per_fold = per_fold.localCheckpoint()
     tot_cols = ["cnt", "s1", "s2", "s11", "s22", "s12", "sy", "s1y", "s2y"]
     totals = per_fold.agg(*[F.sum(c).alias(f"t_{c}") for c in tot_cols])
     # leave-fold-out training moments = totals − own fold (exact int math)
@@ -339,6 +343,10 @@ def spot_the_diff_drift_2d(
         big(f1 * yy).alias("s1y"),
         big(f2 * yy).alias("s2y"),
     )
+    # n_folds-row relation consumed by three branches (totals, coef,
+    # final_coef) — materialize once so each branch does not re-derive the
+    # full feature scan
+    per_fold = per_fold.localCheckpoint()
     tot_cols = ["cnt", "s1", "s2", "s11", "s22", "s12", "sy", "s1y", "s2y"]
     totals = per_fold.agg(*[F.sum(c).alias(f"t_{c}") for c in tot_cols])
     train = per_fold.crossJoin(F.broadcast(totals)).select(
