@@ -155,7 +155,12 @@ def seasonal_band_outliers(
     (SURVEY §2.1's stated Prophet recast). One groupBy for the bands, one
     broadcast-able join back; everything whole-stage codegen."""
     phase = (F.col("bucket_ts") / bucket_seconds).cast("long") % period_buckets
-    vals = rollup.select(key, "bucket_ts", F.col(value).alias("y"), phase.alias("phase"))
+    # the rollup relation is tier-bounded (one row per (key, bucket)) —
+    # materialize it so the bands branch and the scoring branch do not each
+    # re-derive the upstream aggregation
+    vals = rollup.select(
+        key, "bucket_ts", F.col(value).alias("y"), phase.alias("phase")
+    ).localCheckpoint()
     # percentile over exact MICRO-UNIT INTEGERS (y is 6dp by the rollup
     # contract): an interpolation midpoint of two ints is an exactly
     # representable x.5, so the band's 6dp rounding tie-breaks identically
@@ -269,9 +274,12 @@ def trend_band_outliers(
     per-(key,segment) moments — broadcast back), one percentile groupBy —
     all whole-stage codegen, no UDF, nothing driver-side."""
     w = Window.partitionBy(key).orderBy("bucket_ts")
+    # tier-bounded relation consumed by four branches (per-key counts,
+    # segment moments, residual phase rows, scoring) — materialize once
     base = (
         rollup.select(key, "bucket_ts", F.col(value).alias("y"))
         .withColumn("rn", F.row_number().over(w))
+        .localCheckpoint()
     )
     nper = base.groupBy(key).agg(F.count(F.lit(1)).alias("nk"))
     base = base.join(F.broadcast(nper), key).withColumn(
