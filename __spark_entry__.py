@@ -683,9 +683,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def media_features(s, sf):
         from alibi_detect_spark.operators import multimodal
 
-        return multimodal.extract_features(
-            multimodal.media_from_documents(_t(s, sf, "documents"))
-        ).select("media_id", "mean_val", "std_val", "embedding")
+        # posexplode the embedding to (pos, val) rows: the driver's
+        # canonicalizer cannot hash array<double> columns (CORRECTNESS_r03
+        # recorded `unhashable type: 'list'`), and scalar rows keep full
+        # fidelity — every embedding component is hash-checked individually.
+        return (
+            multimodal.extract_features(
+                multimodal.media_from_documents(_t(s, sf, "documents"))
+            )
+            .select(
+                "media_id",
+                "mean_val",
+                "std_val",
+                F.posexplode("embedding").alias("pos", "val"),
+            )
+        )
 
     q["media_features"] = media_features
 
@@ -2609,8 +2621,9 @@ agg AS (SELECT media_id, n,
 SELECT media_id,
        round(CAST(s AS DOUBLE)/n, 6) AS mean_val,
        round(sqrt(greatest(CAST(ssq AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n), 0.0)), 6) AS std_val,
-       emb AS embedding
-FROM agg
+       CAST(j AS INTEGER) AS pos,
+       emb[CAST(j AS INTEGER) + 1] AS val
+FROM agg, generate_series(0, 15) AS t(j)
 """
 
     _STOP = "('the','a','an','and','of','to','in','is','it','on','for','with')"

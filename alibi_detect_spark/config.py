@@ -268,6 +268,17 @@ def from_reference_toml(cfg: dict) -> tuple[dict, dict]:
             params[k] = v
         else:
             dropped[k] = v
+    # distinguish expected reference-only drops from unknown keys: a typo'd
+    # migratable param must not silently vanish into the dropped report
+    unknown = sorted(k for k in dropped if k not in _REF_DROPPED_KEYS)
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            f"reference config keys {unknown} are neither migratable params of "
+            f"{kind!r} nor known reference-only keys — check for typos",
+            stacklevel=2,
+        )
     return {"kind": kind, "params": params}, dropped
 
 

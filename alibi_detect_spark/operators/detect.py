@@ -285,10 +285,13 @@ def trend_band_outliers(
     base = base.join(F.broadcast(nper), key).withColumn(
         "seg", (F.col("rn") * 2 > F.col("nk")).cast("int")
     )
-    rl = F.col("rn").cast("long")
+    # DECIMAL(38,0) moments end-to-end: int64 products (ns*sxx, sx*sx) wrap
+    # silently past ~2M buckets per key while the DuckDB twin's HUGEINT stays
+    # exact — the big() recipe keeps both engines exact at any series length
+    rl = F.col("rn").cast("decimal(38,0)")
     yq = F.col("y").cast("decimal(18,6)")
     mom = base.groupBy(key, "seg").agg(
-        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ns"),
         F.sum(rl).alias("sx"),
         F.sum(rl * rl).alias("sxx"),
         F.sum(yq).alias("sy"),

@@ -554,6 +554,14 @@ def gmm_outlier_2feat(
         new = []
         for k in ("q0", "q1"):
             r = s[f"r_{k}"]
+            if r == 0:
+                # a component whose rounded responsibilities sum to 0 has no
+                # M-step: means/variances would go NaN and propagate silently
+                # through every score (the oracle diverges identically)
+                raise ValueError(
+                    "GMM EM degenerate: component responsibility sum is 0 "
+                    f"at component {k}; use fewer components or rescale"
+                )
             mv = s[f"sv_{k}"] / (r * q)
             vv = s[f"svv_{k}"] / (r * q * q) - (s[f"sv_{k}"] / (r * q)) * (s[f"sv_{k}"] / (r * q)) + eps
             mu = s[f"su_{k}"] / (r * q)

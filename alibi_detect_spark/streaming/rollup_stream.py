@@ -619,6 +619,10 @@ def lsdd_hash_stream(
     integer and the scalar chain mirrors the batch operator's expression
     tree, the stream reproduces the batch trajectory bit-for-bit under any
     micro-batch slicing."""
+    if window_size < 2:
+        # keep=0 would slice h[-0:] = the WHOLE array, growing the state
+        # store unboundedly (and a 1-point LSDD window is degenerate anyway)
+        raise ValueError(f"window_size must be >= 2, got {window_size}")
     two_sig2 = 2.0 * sigma * sigma
     four_sig2 = 4.0 * sigma * sigma
     a = 1.0 + lam
