@@ -370,6 +370,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id",
         n_iter=2,
     )
+    # the parameterized-d generalization at d=4 (gmm_outlier_dfeat): same
+    # quantized-EM recipe, reference-default-like feature width — proves the
+    # closed form is not 2-feature-bound
+    q["gmm_outlier_4d"] = lambda s, sf: outlier.gmm_outlier_dfeat(
+        _t(s, sf, "events").select(
+            "event_id",
+            "value",
+            (F.col("user_id") % 100).cast("double").alias("u"),
+            (F.col("event_id") % 97).cast("double").alias("m"),
+            F.length("props").cast("double").alias("lp"),
+        ),
+        ("value", "u", "m", "lp"),
+        "event_id",
+        n_iter=2,
+    )
     def _events_vu_lab(s, sf):
         return (
             _t(s, sf, "events")
@@ -631,6 +646,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select(F.lit("cvm").alias("detector"), "event_type", "n_scored", "n_drift")
     )
 
+    # MMD / FET / LSDD decision trajectories with FULL oracles: thresholds
+    # calibrated against a DECLARED distribution (constants of seed/sizes/ert
+    # only — see functions/online_thresholds.py) and inlined as literals in
+    # both engines; the decision column is a threshold lookup + comparison
+    # over the already-hash-green rounded stat trajectories
+    # (cd/base_online.py:131-144,382-395 decision semantics). The general
+    # data-dependent calibrations stay in online_decisions (rows-only).
+    from alibi_detect_spark.functions.online_thresholds import (
+        fet_decision_thresholds,
+        lsdd2_decision_thresholds,
+        mmd_decision_thresholds,
+    )
+
+    def _decision_counts(stats, key, order_col, stat_col, thresholds, clamp,
+                         t_offset, all_keys, label):
+        """Shared decision plan: per-key step index over the stat rows,
+        1-based lookup into the inlined threshold array (clamped like
+        ``threshold_at``), strict-> comparison, per-key counts, left join
+        against the full key universe so short series report (0, 0)."""
+        w = Window.partitionBy(key).orderBy(order_col)
+        arr = F.array(*[F.lit(float(t)) for t in thresholds])
+        t_idx = F.least(F.row_number().over(w) + F.lit(t_offset), F.lit(clamp))
+        dec = (
+            stats.withColumn("thr", F.element_at(arr, t_idx))
+            .groupBy(key)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_scored"),
+                F.sum((F.col(stat_col) > F.col("thr")).cast("long")).alias("n_drift"),
+            )
+        )
+        return (
+            all_keys.join(dec, key, "left")
+            .select(
+                F.lit(label).alias("detector"),
+                key,
+                F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+                F.coalesce("n_drift", F.lit(0)).cast("long").alias("n_drift"),
+            )
+        )
+
+    def mmd_decisions(s, sf):
+        stats = mmd_online_stats_over(
+            _events_as_rollup(s, sf), "source", "bucket_ts", "sum_n_tok",
+            n_ref=64, window_size=10, sigma=5.0,
+        )
+        keys = _t(s, sf, "events").select(
+            F.col("event_type").alias("source")
+        ).distinct()
+        return _decision_counts(
+            stats, "source", "bucket_ts", "mmd_stat",
+            mmd_decision_thresholds(), clamp=10, t_offset=0,
+            all_keys=keys, label="mmd",
+        )
+
+    q["mmd_decisions"] = mmd_decisions
+
+    def fet_decisions(s, sf):
+        raw = fet_online_over(_events_bits(s, sf), "event_type", "seq", "bit")
+        stats = (
+            raw.where(fin("fet_stat"))
+            .select(
+                "event_type", "seq",
+                (F.round("fet_stat", 6) + F.lit(0.0)).alias("fet_stat"),
+            )
+        )
+        # stream time t starts at min_ws = 15 on the first finite stat row;
+        # thresholds are indexed by t and clamp at t_max = 29
+        thr = fet_decision_thresholds()[14:]  # t = 15..29
+        keys = _t(s, sf, "events").select("event_type").distinct()
+        return _decision_counts(
+            stats, "event_type", "seq", "fet_stat",
+            thr, clamp=15, t_offset=0, all_keys=keys, label="fet",
+        )
+
+    q["fet_decisions"] = fet_decisions
+
+    def lsdd_decisions(s, sf):
+        stats = lsdd_online_stats_over(
+            _t(s, sf, "events"), "event_type", "event_id", "value",
+            n_ref=64, window_size=10,
+        )
+        keys = _t(s, sf, "events").select("event_type").distinct()
+        return _decision_counts(
+            stats, "event_type", "event_id", "lsdd_stat",
+            lsdd2_decision_thresholds(), clamp=10, t_offset=0,
+            all_keys=keys, label="lsdd",
+        )
+
+    q["lsdd_decisions"] = lsdd_decisions
+
     # --- dedup family ----------------------------------------------------
     q["dedup_exact_prefix"] = lambda s, sf: dedup.exact_dup_groups(
         _t(s, sf, "documents"), prefix_words=8
@@ -735,28 +840,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-green in r1/r2 with code untouched since) may fall outside the
     # window; their evidence chain is the prior rounds' artifacts.
     priority = [
-        # new in round 3
-        "llr_outlier", "vae_outlier_2d", "adversarial_ae", "model_distillation",
-        "aegmm_outlier", "vaegmm_outlier", "lsdd_online_hash",
-        "mahalanobis_online_hash", "spot_the_diff_2d", "ssa_outlier_hash",
-        "ae_outlier_2d", "kpca_outlier_2c", "ocsvm_mean", "iforest_hash",
-        "context_mmd_hash",
-        "lsdd_perm_hash", "gmm_outlier_2c", "spot_the_diff",
-        "learned_kernel_drift", "preproc_drift", "cvm_decisions", "trend_bands",
-        "media_features", "contamination_check", "weighted_sample",
-        # code changed in round 3
-        "seasonal_bands",
-        "pca_outlier_2d", "ann_ivf_build", "knn_outlier_predict",
-        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
-        "dedup_simhash_pairs", "dedup_embedding_cosine", "classifier_drift_lr",
-        # green in r1 but absent from the r2 artifact
-        "ann_cosine_topk", "ann_ivf_topk", "lang_id", "quality_score",
-        "token_counts", "fingerprint", "tpch_q1",
-        # rows-only (weaker check — keep them recorded every round)
+        # new in round 4
+        "mmd_decisions", "fet_decisions", "lsdd_decisions", "gmm_outlier_4d",
+        # code changed in round 4 (media_features: driver-hashable embedding
+        # projection; knn_ensemble: PValNormalizer column; trend/seasonal +
+        # gmm: decimal moments / zero guards)
+        "media_features", "knn_ensemble", "trend_bands", "seasonal_bands",
+        "gmm_outlier_2c",
+        # NEVER driver-recorded in any round (rows-only siblings)
+        "ae_outlier", "ssa_outlier",
+        # no CORRECTNESS_r03 row (r1/r2 evidence only) — rotate them in so
+        # every query has a driver row within r3 ∪ r4
+        "chi2_drift", "classifier_drift", "cvm_drift", "cvm_online",
+        "dedup_exact_prefix", "drift_fdr", "ewma_hourly_counts", "fet_drift",
+        "fet_online", "gapfill_1h_events", "knn_outlier", "kpca_outlier",
+        "ks_drift", "lof_outlier", "mahalanobis_topk", "mmd_drift",
+        "mmd_online", "mmd_perm_test", "online_decisions", "pages_roundtrip",
+        "quantile_thresholds", "ref_update_last_n",
+        "regressor_uncertainty_drift", "reservoir_sample", "rollup_1d_cascade",
+        "rollup_1h_events", "sr_saliency", "tabular_drift", "token_invariant",
+        "token_rollup_1h", "token_rollup_1h_salted", "token_rollup_source",
+        "uncertainty_drift", "uncertainty_margin_drift",
+        # rows-only with an r3 row already — keep near the window edge
         "lsdd_perm_test", "lsdd_online", "mahalanobis_online",
         "context_mmd_drift", "iforest_outlier", "svm_outlier", "gmm_outlier",
-        "pca_outlier", "kpca_outlier", "online_decisions", "ae_outlier",
-        "ssa_outlier",
+        "pca_outlier", "classifier_drift_lr",
     ]
     assert all(name in q for name in priority), sorted(set(priority) - set(q))
     ordered = {name: q[name] for name in priority}
@@ -1753,13 +1861,32 @@ nm AS (SELECT vec_id,
               (d3 - s3/n) / sqrt(ss3/n - (s3/n)*(s3/n)) AS n3,
               (d5 - s5/n) / sqrt(ss5/n - (s5/n)*(s5/n)) AS n5,
               (d7 - s7/n) / sqrt(ss7/n - (s7/n)*(s7/n)) AS n7
-       FROM d CROSS JOIN st)
-SELECT vec_id,
+       FROM d CROSS JOIN st),
+lng AS (SELECT vec_id, vec_id % 5 = 0 AS is_ref, '3' AS kk, d3 AS dv FROM d
+        UNION ALL SELECT vec_id, vec_id % 5 = 0, '5', d5 FROM d
+        UNION ALL SELECT vec_id, vec_id % 5 = 0, '7', d7 FROM d),
+gk AS (SELECT kk, dv, sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref
+       FROM lng GROUP BY 1, 2),
+gc AS (SELECT kk, dv,
+              CAST(sum(c_ref) OVER (PARTITION BY kk ORDER BY dv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ref,
+              CAST(sum(c_ref) OVER (PARTITION BY kk) AS BIGINT) AS n_ref_k
+       FROM gk),
+pvl AS (SELECT vec_id, kk,
+               1.0 - (1.0 + (n_ref_k - cum_ref)) / (n_ref_k + 1.0) AS pv
+        FROM lng JOIN gc USING (kk, dv)),
+pw AS (SELECT vec_id,
+              max(CASE WHEN kk = '3' THEN pv END) AS p3,
+              max(CASE WHEN kk = '5' THEN pv END) AS p5,
+              max(CASE WHEN kk = '7' THEN pv END) AS p7
+       FROM pvl GROUP BY 1)
+SELECT nm.vec_id AS vec_id,
        round((n3 + n5 + n7) / 3, 5) + 0.0 AS avg_score,
        round(greatest(n3, n5, n7), 5) + 0.0 AS max_score,
        round(least(n3, n5, n7), 5) + 0.0 AS min_score,
-       round(((n3 + n5 + n7) - least(n3, n5, n7)) / 2, 5) + 0.0 AS top2_score
-FROM nm
+       round(((n3 + n5 + n7) - least(n3, n5, n7)) / 2, 5) + 0.0 AS top2_score,
+       round((p3 + p5 + p7) / 3, 6) + 0.0 AS pval_avg_score
+FROM nm JOIN pw ON pw.vec_id = nm.vec_id
 """
 
     _COS = (
@@ -1925,6 +2052,100 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
         )
 
     o["gmm_outlier_2c"] = _gmm2_oracle(_GMM_EVENTS_BASE)
+
+    # parameterized-d quantized-EM twin (mirrors outlier.gmm_outlier_dfeat:
+    # same init, same rounded responsibilities, same association order —
+    # the d-dim generalization the 2-feature chain above is an instance of)
+    def _gmmd_oracle(base_sql: str, dims: list[str], n_iter: int = 2) -> str:
+        qs = "1000.0"
+
+        def ld_expr(k: str) -> str:
+            # one left-associated chain, same shape as _GMM_LD0/_GMM_LD1:
+            # ((((-0.5·ln(2πv₀)) − t₀) − 0.5·ln(2πv₁)) − t₁) … + ln(w)
+            parts = [
+                f"- 0.5*ln(2*pi()*v{k}{d}) - ({d}-m{k}{d})*({d}-m{k}{d})/(2*v{k}{d})"
+                for d in dims
+            ]
+            parts[0] = parts[0][2:]  # leading unary minus on the first term
+            return "(-" + " ".join(parts) + f" + ln(w{k}))"
+
+        ctes = []
+        gl_cols = ["CAST(count(*) AS DOUBLE) AS n"] + [
+            f"CAST(sum({d}q) AS DOUBLE) AS s{d}, CAST(sum({d}q*{d}q) AS DOUBLE) AS ss{d}"
+            for d in dims
+        ]
+        ctes.append("gl AS (SELECT " + ", ".join(gl_cols) + " FROM base)")
+        d0 = dims[0]
+        ctes.append(
+            "p0 AS (SELECT "
+            + ", ".join(f"{d} AS i0{d}" for d in dims)
+            + f" FROM base ORDER BY {d0}, event_id LIMIT 1)"
+        )
+        ctes.append(
+            "p1 AS (SELECT "
+            + ", ".join(f"{d} AS i1{d}" for d in dims)
+            + f" FROM base ORDER BY {d0} DESC, event_id DESC LIMIT 1)"
+        )
+        var0 = {
+            d: f"ss{d}/(n*{qs}*{qs}) - (s{d}/(n*{qs}))*(s{d}/(n*{qs})) + 1e-9"
+            for d in dims
+        }
+        par0 = (
+            [f"i0{d} AS m0{d}" for d in dims]
+            + [f"i1{d} AS m1{d}" for d in dims]
+            + [f"{var0[d]} AS v0{d}" for d in dims]
+            + [f"{var0[d]} AS v1{d}" for d in dims]
+            + ["0.5 AS w0", "0.5 AS w1"]
+        )
+        ctes.append(
+            "par0 AS (SELECT " + ", ".join(par0) + " FROM gl CROSS JOIN p0 CROSS JOIN p1)"
+        )
+        cols_all = ", ".join(f"{d}, {d}q" for d in dims)
+        for t in range(1, n_iter + 1):
+            ctes.append(
+                f"e{t} AS (SELECT event_id, {cols_all}, {ld_expr('0')} AS ld0, "
+                f"{ld_expr('1')} AS ld1 FROM base CROSS JOIN par{t - 1})"
+            )
+            ctes.append(
+                f"r{t} AS (SELECT *, CAST(round(1.0/(1.0+exp(ld1-ld0))*1000) AS BIGINT) AS q0 "
+                f"FROM e{t})"
+            )
+            mom = ["CAST(sum(q0) AS DOUBLE) AS r0", "CAST(sum(1000-q0) AS DOUBLE) AS r1"]
+            for d in dims:
+                mom += [
+                    f"CAST(sum(q0*{d}q) AS DOUBLE) AS s{d}0",
+                    f"CAST(sum(q0*{d}q*{d}q) AS DOUBLE) AS ss{d}0",
+                    f"CAST(sum((1000-q0)*{d}q) AS DOUBLE) AS s{d}1",
+                    f"CAST(sum((1000-q0)*{d}q*{d}q) AS DOUBLE) AS ss{d}1",
+                ]
+            ctes.append(f"s{t} AS (SELECT " + ", ".join(mom) + f" FROM r{t})")
+            par = []
+            for k in ("0", "1"):
+                for d in dims:
+                    par.append(f"s{d}{k}/(r{k}*{qs}) AS m{k}{d}")
+                    par.append(
+                        f"ss{d}{k}/(r{k}*{qs}*{qs}) - (s{d}{k}/(r{k}*{qs}))*(s{d}{k}/(r{k}*{qs}))"
+                        f" + 1e-9 AS v{k}{d}"
+                    )
+            par += ["r0/(r0+r1) AS w0", "r1/(r0+r1) AS w1"]
+            ctes.append(f"par{t} AS (SELECT " + ", ".join(par) + f" FROM s{t})")
+        ctes.append(
+            f"efin AS (SELECT event_id, {ld_expr('0')} AS ld0, {ld_expr('1')} AS ld1 "
+            f"FROM base CROSS JOIN par{n_iter})"
+        )
+        ctes.append("sc AS (SELECT event_id, ld0, ld1, greatest(ld0, ld1) AS mx FROM efin)")
+        return (
+            "WITH " + base_sql + ",\n" + ",\n".join(ctes) + "\n"
+            "SELECT event_id, round(-(mx + ln(exp(ld0-mx)+exp(ld1-mx))), 6) + 0.0 AS gmm_nll FROM sc"
+        )
+
+    _GMM4_BASE = """base AS (SELECT event_id,
+  CAST(value AS DOUBLE) AS a, CAST(round(CAST(value AS DOUBLE)*1000) AS BIGINT) AS aq,
+  CAST(user_id % 100 AS DOUBLE) AS b, CAST(round(CAST(user_id % 100 AS DOUBLE)*1000) AS BIGINT) AS bq,
+  CAST(event_id % 97 AS DOUBLE) AS c, CAST(round(CAST(event_id % 97 AS DOUBLE)*1000) AS BIGINT) AS cq,
+  CAST(length(props) AS DOUBLE) AS d, CAST(round(CAST(length(props) AS DOUBLE)*1000) AS BIGINT) AS dq
+              FROM events)"""
+    o["gmm_outlier_4d"] = _gmmd_oracle(_GMM4_BASE, ["a", "b", "c", "d"])
 
     # AEGMM / VAEGMM feature-map CTEs (mirror outlier.aegmm_features) feeding
     # the same unrolled-EM chain
@@ -2832,6 +3053,49 @@ stat AS (SELECT source, i,
 SELECT s.source AS source, s.bucket_ts AS bucket_ts, round(stat.mmd2, 6) + 0.0 AS mmd_stat
 FROM stat JOIN s ON s.source = stat.source AND s.rn = 64 + stat.i
 """
+
+    # mmd/fet/lsdd decision paths: wrap the hash-green stat twins, join the
+    # declared-calibration thresholds (functions/online_thresholds.py — the
+    # same NumPy computes them for the Spark query, so the literals below are
+    # bit-identical), count decisions per key (cd/base_online.py:131-144
+    # threshold-lookup + comparison semantics)
+    from alibi_detect_spark.functions.online_thresholds import (
+        fet_decision_thresholds as _fet_thr_fn,
+        lsdd2_decision_thresholds as _lsdd_thr_fn,
+        mmd_decision_thresholds as _mmd_thr_fn,
+    )
+
+    def _decision_sql(stat_sql, key_out, key_col, order_col, stat_col,
+                      thresholds, clamp, label):
+        thr_rows = ", ".join(f"({i + 1}, {t!r})" for i, t in enumerate(thresholds))
+        return f"""
+WITH base AS (SELECT * FROM ({stat_sql}) tq),
+rnk AS (SELECT {key_out} AS k, {stat_col} AS stat,
+               row_number() OVER (PARTITION BY {key_out} ORDER BY {order_col}) AS t
+        FROM base),
+thrt(tt, thr) AS (VALUES {thr_rows}),
+dec AS (SELECT k, count(*) AS n_scored,
+               sum(CASE WHEN stat > thr THEN 1 ELSE 0 END) AS n_drift
+        FROM rnk JOIN thrt ON thrt.tt = least(rnk.t, {clamp})
+        GROUP BY 1)
+SELECT '{label}' AS detector, e.k AS {key_out},
+       CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(n_drift, 0) AS BIGINT) AS n_drift
+FROM (SELECT DISTINCT {key_col} AS k FROM events) e LEFT JOIN dec USING (k)
+"""
+
+    o["mmd_decisions"] = _decision_sql(
+        o["mmd_online"], "source", "event_type", "bucket_ts", "mmd_stat",
+        _mmd_thr_fn(), clamp=10, label="mmd",
+    )
+    o["fet_decisions"] = _decision_sql(
+        o["fet_online"], "event_type", "event_type", "seq", "fet_stat",
+        _fet_thr_fn()[14:], clamp=15, label="fet",
+    )
+    o["lsdd_decisions"] = _decision_sql(
+        o["lsdd_online_hash"], "event_type", "event_type", "event_id", "lsdd_stat",
+        _lsdd_thr_fn(), clamp=10, label="lsdd",
+    )
 
     # Spectral Residual via an explicit O(n²) DFT (od/sr.py:231-368 semantics:
     # tail extrapolation, log-amplitude MA filter on the half spectrum with

@@ -89,7 +89,7 @@ def knn_ensemble_scores(
     nsum = sum((F.col(f"n{k}") for k in ks[1:]), F.col(f"n{ks[0]}"))
     nmin = F.least(*[F.col(f"n{k}") for k in ks])
     nmax = F.greatest(*[F.col(f"n{k}") for k in ks])
-    return normed.select(
+    scored = normed.select(
         "vec_id",
         (F.round(nsum / len(ks), 5) + F.lit(0.0)).alias("avg_score"),
         (F.round(nmax, 5) + F.lit(0.0)).alias("max_score"),
@@ -97,6 +97,57 @@ def knn_ensemble_scores(
         # TopKAggregator(k=2) over |ks|=3 normalized scores = mean of all-but-min
         (F.round((nsum - nmin) / (len(ks) - 1), 5) + F.lit(0.0)).alias("top2_score"),
     )
+
+    # PValNormalizer (ensemble.py:78-117): per k, 1 − (1 + #{ref score > s})
+    # / (n_ref + 1), then Avg-aggregated. Relational ECDF over the rounded
+    # distances: the strictly-greater ref count for a row with score s is
+    # n_ref − cum_ref(s). The cumulative sum is TWO-LEVEL (coarse distance
+    # buckets → prefix over the tiny bucket relation → within-bucket window)
+    # so no per-k partition ever holds the full distinct-value set — the
+    # shape that survives 100 TB, unlike a flat per-k ordered window.
+    ref_rel = F.broadcast(emb.where(ref_pred).select(F.col(id_col).alias("__rid")))
+    stack_expr = "stack({}, {}) as (kk, dv)".format(
+        len(ks), ", ".join(f"'{k}', d{k}" for k in ks)
+    )
+    long = (
+        dists.join(ref_rel, dists[id_col] == F.col("__rid"), "left")
+        .select(id_col, F.col("__rid").isNotNull().alias("is_ref"), F.expr(stack_expr))
+    )
+    g = (
+        long.groupBy("kk", "dv")
+        .agg(F.sum(F.col("is_ref").cast("long")).alias("c_ref"))
+        .withColumn("bkt", F.floor("dv"))
+    )
+    per_b = g.groupBy("kk", "bkt").agg(F.sum("c_ref").alias("cb"))
+    wb = Window.partitionBy("kk").orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    per_b = per_b.withColumn("cum_prev", F.coalesce(F.sum("cb").over(wb), F.lit(0)))
+    totals = F.broadcast(per_b.groupBy("kk").agg(F.sum("cb").alias("n_ref_k")))
+    wv = Window.partitionBy("kk", "bkt").orderBy("dv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gc = (
+        g.join(per_b.select("kk", "bkt", "cum_prev"), ["kk", "bkt"])
+        .withColumn("cum_ref", F.col("cum_prev") + F.sum("c_ref").over(wv))
+        .join(totals, "kk")
+        .select("kk", "dv", "cum_ref", "n_ref_k")
+    )
+    pv = long.join(gc, ["kk", "dv"]).select(
+        id_col,
+        "kk",
+        (
+            F.lit(1.0)
+            - (F.lit(1.0) + (F.col("n_ref_k") - F.col("cum_ref")))
+            / (F.col("n_ref_k") + F.lit(1.0))
+        ).alias("pv"),
+    )
+    pw = pv.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("kk") == str(k), F.col("pv"))).alias(f"p{k}") for k in ks]
+    )
+    psum = sum((F.col(f"p{k}") for k in ks[1:]), F.col(f"p{ks[0]}"))
+    pvals = pw.select(
+        id_col, (F.round(psum / len(ks), 6) + F.lit(0.0)).alias("pval_avg_score")
+    )
+    return scored.join(pvals, "vec_id")
 
 
 def knn_outlier_scores(

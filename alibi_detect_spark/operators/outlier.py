@@ -457,20 +457,21 @@ def ae_outlier_scores(
     return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, ae_score double")
 
 
-def gmm_outlier_2feat(
+def gmm_outlier_dfeat(
     df,
-    cols: tuple[str, str],
+    cols: tuple[str, ...],
     id_col: str = "event_id",
     n_iter: int = 2,
     quant: int = 1000,
     eps: float = 1e-9,
     materialize: bool = False,
 ):
-    """GMM outlier score over TWO features with a QUANTIZED-EM fit — the
-    oracle-checkable instance of ``alibi_detect/od/_gmm.py:22-231`` semantics
-    (fit a Gaussian mixture on the batch, score = negative log-likelihood;
-    the reference's torch EM is ``od/pytorch/gmm.py``). The d-dimensional
-    seeded-EM variant is :func:`gmm_outlier_scores` (rows-only).
+    """GMM outlier score over ANY number of features with a QUANTIZED-EM fit
+    — the parameterized-d generalization of the 2-feature oracle instance of
+    ``alibi_detect/od/_gmm.py:22-231`` (diagonal 2-component mixture, fixed
+    ``n_iter``; the reference's torch EM is ``od/pytorch/gmm.py``). The
+    seeded-EM full-covariance variant stays in :func:`gmm_outlier_scores`
+    (rows-only).
 
     Exactness-by-construction (the EM analog of ``ann.kmeans_cells``'s
     quantized Lloyd): each E-step's responsibilities are ROUNDED to integers
@@ -478,27 +479,25 @@ def gmm_outlier_2feat(
     is an exact integer sum (accumulated as DECIMAL(38,0) — order-free under
     any partitioning) divided once — both engines derive bit-identical
     means/variances/weights at every iteration, and the final NLL is a
-    deterministic closed-form column of the data. Fixed ``n_iter`` is part of
-    the spec. Init is deterministic: component means at the extreme rows of
-    the first feature (ties by id), shared per-dim population variance
-    (exact decimal moments), equal weights.
+    deterministic closed-form column of the data. Init is deterministic:
+    component means at the extreme rows of the first feature (ties by id),
+    shared per-dim population variance (exact decimal moments), equal
+    weights.
 
     Scale shape: per iteration one corpus scan + one tiny aggregate (the
-    2-component moment row), params travel by closure — no corpus joins, no
-    full-value buffering. The driver holds only the 1-row moment table."""
+    2-component moment row, 2·(2d+1) numbers regardless of corpus size),
+    params travel by closure — no corpus joins, no full-value buffering."""
     import math
 
     from pyspark.sql import functions as F
 
-    x, y = cols
     q = float(quant)
-    base = df.select(
-        F.col(id_col),
-        F.col(x).cast("double").alias("v"),
-        F.col(y).cast("double").alias("u"),
-        F.round(F.col(x).cast("double") * quant).cast("long").alias("vq"),
-        F.round(F.col(y).cast("double") * quant).cast("long").alias("uq"),
-    )
+    names = [f"x{i}" for i in range(len(cols))]
+    sel = [F.col(id_col)]
+    for c, nm in zip(cols, names):
+        sel.append(F.col(c).cast("double").alias(nm))
+        sel.append(F.round(F.col(c).cast("double") * quant).cast("long").alias(f"{nm}q"))
+    base = df.select(*sel)
     if materialize:
         # each EM iteration is an action over `base`; when the input is an
         # expensive derived relation (the AEGMM feature map re-derives the
@@ -506,33 +505,36 @@ def gmm_outlier_2feat(
         base = base.localCheckpoint()
     big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
 
-    gl = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        big(F.col("vq")).alias("sv"),
-        big(F.col("vq") * F.col("vq")).alias("svv"),
-        big(F.col("uq")).alias("su"),
-        big(F.col("uq") * F.col("uq")).alias("suu"),
-    ).collect()[0]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for nm in names:
+        aggs += [
+            big(F.col(f"{nm}q")).alias(f"s_{nm}"),
+            big(F.col(f"{nm}q") * F.col(f"{nm}q")).alias(f"ss_{nm}"),
+        ]
+    gl = base.agg(*aggs).collect()[0]
     n = gl["n"]
-    var_v = gl["svv"] / (n * q * q) - (gl["sv"] / (n * q)) * (gl["sv"] / (n * q)) + eps
-    var_u = gl["suu"] / (n * q * q) - (gl["su"] / (n * q)) * (gl["su"] / (n * q)) + eps
-    p_lo = base.orderBy("v", id_col).limit(1).collect()[0]
-    p_hi = base.orderBy(F.desc("v"), F.desc(id_col)).limit(1).collect()[0]
-    # params[k] = (mean_v, mean_u, var_v, var_u, weight)
+    pop_var = [
+        gl[f"ss_{nm}"] / (n * q * q) - (gl[f"s_{nm}"] / (n * q)) * (gl[f"s_{nm}"] / (n * q)) + eps
+        for nm in names
+    ]
+    p_lo = base.orderBy(names[0], id_col).limit(1).collect()[0]
+    p_hi = base.orderBy(F.desc(names[0]), F.desc(id_col)).limit(1).collect()[0]
+    # params[k] = (means[d], variances[d], weight)
     params = [
-        (float(p_lo["v"]), float(p_lo["u"]), var_v, var_u, 0.5),
-        (float(p_hi["v"]), float(p_hi["u"]), var_v, var_u, 0.5),
+        ([float(p_lo[nm]) for nm in names], list(pop_var), 0.5),
+        ([float(p_hi[nm]) for nm in names], list(pop_var), 0.5),
     ]
 
     def ld(p):
-        mv, mu, vv, vu, w = p
-        return (
-            F.lit(-0.5 * math.log(2 * math.pi * vv))
-            - (F.col("v") - F.lit(mv)) * (F.col("v") - F.lit(mv)) / F.lit(2 * vv)
-            + F.lit(-0.5 * math.log(2 * math.pi * vu))
-            - (F.col("u") - F.lit(mu)) * (F.col("u") - F.lit(mu)) / F.lit(2 * vu)
-            + F.lit(math.log(w))
-        )
+        means, vs, w = p
+        # association mirrors the SQL twin term-for-term:
+        # ((((-0.5·ln(2πv₀)) − t₀) − 0.5·ln(2πv₁)) − t₁) … + ln(w)
+        expr = F.lit(-0.5 * math.log(2 * math.pi * vs[0]))
+        expr = expr - (F.col(names[0]) - F.lit(means[0])) * (F.col(names[0]) - F.lit(means[0])) / F.lit(2 * vs[0])
+        for nm, m, vv in zip(names[1:], means[1:], vs[1:]):
+            expr = expr + F.lit(-0.5 * math.log(2 * math.pi * vv))
+            expr = expr - (F.col(nm) - F.lit(m)) * (F.col(nm) - F.lit(m)) / F.lit(2 * vv)
+        return expr + F.lit(math.log(w))
 
     for _ in range(n_iter):
         q0 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(ld(params[1]) - ld(params[0]))) * quant).cast(
@@ -542,13 +544,12 @@ def gmm_outlier_2feat(
         aggs = []
         for k in ("q0", "q1"):
             r = F.col(k)
-            aggs += [
-                big(r).alias(f"r_{k}"),
-                big(r * F.col("vq")).alias(f"sv_{k}"),
-                big(r * F.col("vq") * F.col("vq")).alias(f"svv_{k}"),
-                big(r * F.col("uq")).alias(f"su_{k}"),
-                big(r * F.col("uq") * F.col("uq")).alias(f"suu_{k}"),
-            ]
+            aggs.append(big(r).alias(f"r_{k}"))
+            for nm in names:
+                aggs += [
+                    big(r * F.col(f"{nm}q")).alias(f"s_{nm}_{k}"),
+                    big(r * F.col(f"{nm}q") * F.col(f"{nm}q")).alias(f"ss_{nm}_{k}"),
+                ]
         s = e.agg(*aggs).collect()[0]
         tot = s["r_q0"] + s["r_q1"]
         new = []
@@ -562,17 +563,38 @@ def gmm_outlier_2feat(
                     "GMM EM degenerate: component responsibility sum is 0 "
                     f"at component {k}; use fewer components or rescale"
                 )
-            mv = s[f"sv_{k}"] / (r * q)
-            vv = s[f"svv_{k}"] / (r * q * q) - (s[f"sv_{k}"] / (r * q)) * (s[f"sv_{k}"] / (r * q)) + eps
-            mu = s[f"su_{k}"] / (r * q)
-            vu = s[f"suu_{k}"] / (r * q * q) - (s[f"su_{k}"] / (r * q)) * (s[f"su_{k}"] / (r * q)) + eps
-            new.append((mv, mu, vv, vu, r / tot))
+            means = [s[f"s_{nm}_{k}"] / (r * q) for nm in names]
+            vs = [
+                s[f"ss_{nm}_{k}"] / (r * q * q)
+                - (s[f"s_{nm}_{k}"] / (r * q)) * (s[f"s_{nm}_{k}"] / (r * q))
+                + eps
+                for nm in names
+            ]
+            new.append((means, vs, r / tot))
         params = new
 
     ld0, ld1 = ld(params[0]), ld(params[1])
     mx = F.greatest(ld0, ld1)
     nll = -(mx + F.log(F.exp(ld0 - mx) + F.exp(ld1 - mx)))
     return base.select(id_col, (F.round(nll, 6) + F.lit(0.0)).alias("gmm_nll"))
+
+
+def gmm_outlier_2feat(
+    df,
+    cols: tuple[str, str],
+    id_col: str = "event_id",
+    n_iter: int = 2,
+    quant: int = 1000,
+    eps: float = 1e-9,
+    materialize: bool = False,
+):
+    """Two-feature instance of :func:`gmm_outlier_dfeat` (kept as the named
+    entry point for the AEGMM/VAEGMM feature-map pipelines and the
+    ``gmm_outlier_2c`` oracle query)."""
+    return gmm_outlier_dfeat(
+        df, cols, id_col=id_col, n_iter=n_iter, quant=quant, eps=eps,
+        materialize=materialize,
+    )
 
 
 def ae_outlier_2feat(

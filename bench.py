@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "pca_outlier",
     "gmm_outlier",
     "gmm_outlier_2c",
+    "gmm_outlier_4d",
     "lof_outlier",
     "kpca_outlier",
     "iforest_outlier",
@@ -83,6 +84,9 @@ BENCH_QUERIES = [
     "trend_bands",
     "ssa_outlier",
     "cvm_decisions",
+    "mmd_decisions",
+    "fet_decisions",
+    "lsdd_decisions",
     "dedup_exact_prefix",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
