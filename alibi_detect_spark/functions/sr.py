@@ -117,6 +117,41 @@ def sr_score(
     return (sal - ma_sal) / (ma_sal + EPS)
 
 
+def sr_chunk_scores(halo: np.ndarray, chunk: np.ndarray, **sr_params) -> np.ndarray:
+    """Score ONE chunk given the carried halo tail: SR over ``halo ⧺ chunk``,
+    emitting only the chunk's scores. The single shared kernel both the
+    chunked batch operator and the streaming twin call — bit-match between
+    them is by construction."""
+    series = np.concatenate([halo, chunk]) if halo.size else chunk
+    return sr_score(series, **sr_params)[halo.size:]
+
+
+def sr_score_chunked(
+    x: np.ndarray, chunk_size: int, halo: int, **sr_params
+) -> np.ndarray:
+    """Chunk+halo SR over an unbounded stream (the SURVEY §7.4 protocol,
+    reference scoring semantics ``od/sr.py:320-368`` applied per chunk):
+    deterministic chunk boundaries at multiples of ``chunk_size``; each chunk
+    is scored on [last ``halo`` values ⧺ chunk]; only COMPLETE chunks emit
+    scores (a trailing partial chunk stays pending — the streaming twin holds
+    it in the state store until it fills). Returns ``(n // chunk_size) ·
+    chunk_size`` scores.
+
+    Requires ``chunk_size > max(window_amp, window_local)`` so the first
+    (halo-less) chunk satisfies ``sr_score``'s length contract."""
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    if halo < 0:
+        raise ValueError(f"halo must be >= 0, got {halo}")
+    out = []
+    h = np.empty(0)
+    for i in range(len(x) // chunk_size):
+        chunk = x[i * chunk_size : (i + 1) * chunk_size]
+        out.append(sr_chunk_scores(h, chunk, **sr_params))
+        # h[-0:] would be the WHOLE array — guard the halo=0 config
+        h = np.concatenate([h, chunk])[-halo:] if halo > 0 else np.empty(0)
+    return np.concatenate(out) if out else np.empty(0)
+
+
 def sr_threshold(scores: np.ndarray, threshold_perc: float = 95.0) -> float:
     """``infer_threshold`` analog (``od/sr.py:112-139``): exact percentile."""
     return float(np.percentile(scores, threshold_perc))

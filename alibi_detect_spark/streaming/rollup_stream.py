@@ -713,3 +713,93 @@ def lsdd_hash_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+SR_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("bucket_ts", LongType()),
+        StructField("sr_score", DoubleType()),
+    ]
+)
+SR_STATE_SCHEMA = StructType(
+    [
+        StructField("halo", ArrayType(DoubleType())),
+        StructField("pend_v", ArrayType(DoubleType())),
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+
+def sr_stream(
+    rollup: DataFrame,
+    value_col: str = "sum_n_tok",
+    chunk_size: int = 64,
+    halo: int = 32,
+    sr_params: dict | None = None,
+) -> DataFrame:
+    """Stateful streaming Spectral Residual — the streaming twin of the
+    chunk+halo batch protocol (:func:`..functions.sr.sr_score_chunked`,
+    reference scoring semantics ``od/sr.py:320-368`` applied per chunk).
+
+    SR needs a whole series for its FFT, so the stream's unit of work is a
+    FIXED chunk: rows buffer in the state store until ``chunk_size`` of them
+    accumulate, then the chunk is scored on [carried ``halo`` tail ⧺ chunk]
+    via the SAME kernel the batch operator calls (``sr_chunk_scores``) and
+    only the carried tail + any partial chunk stay in state. Chunk boundaries
+    are absolute stream positions, so the emitted trajectory is invariant to
+    micro-batch slicing — bit-for-bit equal to the batch replay.
+
+    State size is bounded by ``halo + chunk_size − 1`` doubles per key
+    regardless of stream length."""
+    from ..functions.sr import sr_chunk_scores
+
+    if chunk_size <= max(
+        (sr_params or {}).get("window_amp", 20),
+        (sr_params or {}).get("window_local", 20),
+    ):
+        raise ValueError(
+            f"chunk_size {chunk_size} must exceed the SR windows so the first"
+            " (halo-less) chunk is scoreable"
+        )
+    if halo < 0:
+        raise ValueError(f"halo must be >= 0, got {halo}")
+    srp = dict(sr_params or {})
+
+    def fn(key, pdf_iter, state):
+        (source,) = key
+        if state.exists:
+            h, pv, pts, last_ts = state.get
+            h, pv, pts = list(h), list(pv), list(pts)
+        else:
+            h, pv, pts, last_ts = [], [], [], -(2**62)
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            whole = pd.concat(chunks).sort_values("bucket_ts", kind="mergesort")
+            whole = whole[whole["bucket_ts"] > last_ts]
+            if len(whole):
+                pv.extend(float(v) for v in whole[value_col].to_numpy(dtype=np.float64))
+                pts.extend(int(t) for t in whole["bucket_ts"].to_numpy(dtype=np.int64))
+                last_ts = int(whole["bucket_ts"].iloc[-1])
+                while len(pv) >= chunk_size:
+                    chunk = np.array(pv[:chunk_size], dtype=np.float64)
+                    cts = np.array(pts[:chunk_size], dtype=np.int64)
+                    scores = sr_chunk_scores(
+                        np.array(h, dtype=np.float64), chunk, **srp
+                    )
+                    yield pd.DataFrame(
+                        {"source": source, "bucket_ts": cts, "sr_score": scores}
+                    )
+                    # h[-0:] would be the WHOLE history — guard halo=0
+                    h = (h + [float(v) for v in chunk])[-halo:] if halo > 0 else []
+                    pv, pts = pv[chunk_size:], pts[chunk_size:]
+        state.update((h, pv, pts, last_ts))
+
+    return rollup.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=SR_OUT_SCHEMA,
+        stateStructType=SR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -354,3 +354,68 @@ def test_lsdd_stream_bitmatches_batch(spark, tmp_path, cfg):
             g["lsdd_stat"].to_numpy(np.float64).view(np.uint64), stats.view(np.uint64)
         ), source
         assert np.array_equal(g["lsdd_is_drift"].to_numpy(np.int64), drift.astype(np.int64)), source
+
+
+def test_sr_stream_bitmatches_chunked_batch(spark, tmp_path, cfg):
+    """Streaming chunk+halo SR reproduces sr_score_chunked bit-for-bit, and
+    the trajectory is invariant to micro-batch slicing (two slicings)."""
+    tmp = str(tmp_path)
+    from alibi_detect_spark.functions.sr import sr_score_chunked
+    from alibi_detect_spark.streaming.rollup_stream import sr_stream
+
+    raw = spark.createDataFrame(
+        synth_batch(np.arange(0, 40_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    rollup = rollup_tier1(raw, "1h").toPandas().sort_values(["source", "bucket_ts"])
+    chunk_size, halo = 64, 32
+
+    batch_out = {}
+    for source, grp in rollup.groupby("source"):
+        x = grp["sum_n_tok"].to_numpy(np.float64)
+        scores = sr_score_chunked(x, chunk_size, halo)
+        n_emit = (len(x) // chunk_size) * chunk_size
+        batch_out[source] = (grp["bucket_ts"].to_numpy()[:n_emit], scores)
+
+    schema = (
+        "source string, bucket_ts long, n_docs long, sum_n_tok long,"
+        " min_n_tok int, max_n_tok int, mean_n_tok double, gapfilled boolean"
+    )
+    for tag, n_files in (("a", 2), ("b", 7)):
+        os.makedirs(f"{tmp}/sr_in_{tag}", exist_ok=True)
+        cuts = np.quantile(
+            rollup["bucket_ts"].to_numpy(), np.linspace(0, 1, n_files + 1)
+        )
+        for i in range(n_files):
+            lo, hi = cuts[i], cuts[i + 1]
+            part = rollup[
+                (rollup["bucket_ts"] > lo if i else rollup["bucket_ts"] >= lo)
+                & (rollup["bucket_ts"] <= hi)
+            ]
+            part.to_parquet(f"{tmp}/sr_in_{tag}/p{i:02d}.parquet", index=False)
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/sr_in_{tag}")
+        )
+        q = (
+            sr_stream(src, chunk_size=chunk_size, halo=halo)
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/sr_out_{tag}")
+            .option("checkpointLocation", f"{tmp}/sr_ckpt_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = (
+            spark.read.parquet(f"{tmp}/sr_out_{tag}")
+            .toPandas()
+            .sort_values(["source", "bucket_ts"])
+        )
+        for source, (ts, scores) in batch_out.items():
+            g = got[got["source"] == source].sort_values("bucket_ts")
+            assert np.array_equal(g["bucket_ts"].to_numpy(), ts), (tag, source)
+            assert np.array_equal(
+                g["sr_score"].to_numpy(np.float64).view(np.uint64),
+                scores.view(np.uint64),
+            ), (tag, source)
