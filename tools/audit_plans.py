@@ -376,6 +376,69 @@ def main() -> None:
         "layers — zero Python stages.",
     )
 
+    # 6k. round-4 decision paths: threshold array is a literal, the per-key
+    #     counts relation is tiny and broadcast-joined to the key universe;
+    #     lsdd_decisions stays fully declarative (zero Python stages)
+    audit(
+        "lsdd_decisions",
+        qs["lsdd_decisions"](spark, SF),
+        requires=["BroadcastHashJoin"],
+        forbids=["MapInPandas", "ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+        note="Online-LSDD decision path: window sums of quantized kernel "
+        "features (codegen), literal threshold array lookup, per-key counts "
+        "(<= #keys rows) broadcast-joined to the distinct-key universe — "
+        "zero Python stages end to end.",
+    )
+    audit(
+        "mmd_decisions",
+        qs["mmd_decisions"](spark, SF),
+        requires=["BroadcastHashJoin"],
+        forbids=["CartesianProduct", "SortMergeJoin"],
+        note="Online-MMD decision path: the stat stage is the per-key Arrow "
+        "pass, everything after (threshold lookup + counts + key-universe "
+        "join) is tiny and broadcast.",
+    )
+
+    # 6l. gmm_outlier_4d: the d-dim quantized-EM final plan is ONE corpus scan
+    #     of scalar column math (params travel by closure after the driver-side
+    #     M-steps) — no joins, no Python
+    df = qs["gmm_outlier_4d"](spark, SF)
+    p = plan_of(df)
+    n_scans = p.count(") Scan parquet")
+    ok = n_scans == 1 and "Join" not in p and "MapInPandas" not in p
+    if not ok:
+        failures.append(
+            f"gmm_outlier_4d: final plan wants 1 scan, no joins/Python (got {n_scans} scans)"
+        )
+    sections.append(
+        "## gmm_outlier_4d — single-scan closed-form scoring\n\n"
+        "Parameterized-d quantized-EM GMM: each EM iteration is one scan + one "
+        "tiny moment aggregate at build time; the returned scoring plan is "
+        f"exactly one corpus scan of codegen column math. Check: "
+        f"{'OK' if ok else 'FAIL'} ({n_scans} scan(s))\n\n"
+        "```\n" + "\n".join(l for l in p.splitlines() if l.strip())[:1200] + "\n```\n"
+    )
+
+    # 6m. knn_ensemble PValNormalizer: two-level bucketed ECDF — the within-
+    #     bucket window must be partitioned (kk, bkt), never a global sort;
+    #     no CartesianProduct anywhere (stats travel via broadcast)
+    df = qs["knn_ensemble"](spark, SF)
+    p = plan_of(df)
+    ok = "CartesianProduct" not in p and "MapInPandas" in p
+    if "Window" in p and "hashpartitioning(kk" not in p and "hashpartitioning(knn" not in p:
+        # the bucketed window must shuffle on (kk, bkt) — a window without a
+        # partition key would single-task the full distinct-value relation
+        ok = ok and "hashpartitioning" in p
+    if not ok:
+        failures.append("knn_ensemble: ECDF window not bucket-partitioned or cartesian present")
+    sections.append(
+        "## knn_ensemble — bucketed p-value ECDF\n\n"
+        "PValNormalizer: distances from the Arrow scan stage; the strictly-"
+        "greater ref count comes from a two-level cumulative sum (bucket "
+        "prefix relation + within-(kk,bkt) window) so no partition holds the "
+        f"full distinct-score set. Check: {'OK' if ok else 'FAIL'}\n"
+    )
+
     # 7. dedup minhash: signature agg is partial+final (no raw-shingle shuffle
     #    of text), candidate join is an equi-join
     audit(
