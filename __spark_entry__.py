@@ -385,6 +385,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id",
         n_iter=2,
     )
+    # parameterized-d PCA at d=4: exact-moment covariance + fixed-iteration
+    # power method (deterministic e1 init) — the second d-width closed form
+    q["pca_outlier_4d"] = lambda s, sf: outlier.pca_outlier_dfeat(
+        _t(s, sf, "events").select(
+            "event_id",
+            "value",
+            (F.col("user_id") % 100).cast("double").alias("u"),
+            (F.col("event_id") % 97).cast("double").alias("m"),
+            F.length("props").cast("double").alias("lp"),
+        ),
+        ("value", "u", "m", "lp"),
+        "event_id",
+    )
     def _events_vu_lab(s, sf):
         return (
             _t(s, sf, "events")
@@ -842,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # new in round 4
         "mmd_decisions", "fet_decisions", "lsdd_decisions", "gmm_outlier_4d",
+        "pca_outlier_4d",
         # code changed in round 4 (media_features: driver-hashable embedding
         # projection; knn_ensemble: PValNormalizer column; trend/seasonal +
         # gmm: decimal moments / zero guards)
@@ -2146,6 +2160,50 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
   CAST(length(props) AS DOUBLE) AS d, CAST(round(CAST(length(props) AS DOUBLE)*1000) AS BIGINT) AS dq
               FROM events)"""
     o["gmm_outlier_4d"] = _gmmd_oracle(_GMM4_BASE, ["a", "b", "c", "d"])
+
+    # parameterized-d PCA twin (mirrors outlier.pca_outlier_dfeat: exact
+    # DECIMAL moments → covariance → fixed-iteration power method, every
+    # scalar expression in the same association order)
+    def _pcad_oracle(base_sql: str, dims: list[str], n_iter: int = 8) -> str:
+        d = len(dims)
+        mom = ["CAST(count(*) AS DOUBLE) AS n"]
+        for j in range(d):
+            mom.append(
+                f"CAST(sum(CAST({dims[j]} AS DECIMAL(18,4))) AS DOUBLE) AS s{j}"
+            )
+        for j in range(d):
+            for k in range(j, d):
+                mom.append(
+                    f"CAST(sum(CAST({dims[j]} AS DECIMAL(18,4))*CAST({dims[k]} AS DECIMAL(18,4)))"
+                    f" AS DOUBLE) AS s{j}{k}"
+                )
+        ctes = [f"mom AS (SELECT {', '.join(mom)} FROM base)"]
+        cexp = [f"s{j}/n AS m{j}" for j in range(d)]
+        for j in range(d):
+            for k in range(j, d):
+                cexp.append(f"s{j}{k}/n - (s{j}/n)*(s{k}/n) AS c{j}{k}")
+        ctes.append(f"cm AS (SELECT {', '.join(cexp)} FROM mom)")
+        cref = lambda j, k: f"c{min(j, k)}{max(j, k)}"  # noqa: E731
+        v0 = ", ".join(f"{'1.0' if j == 0 else '0.0'} AS v0_{j}" for j in range(d))
+        ctes.append(f"p0 AS (SELECT *, {v0} FROM cm)")
+        for t in range(1, n_iter + 1):
+            ws = ", ".join(
+                " + ".join(f"{cref(j, k)}*v{t - 1}_{k}" for k in range(d)) + f" AS w{t}_{j}"
+                for j in range(d)
+            )
+            ctes.append(f"w{t} AS (SELECT *, {ws} FROM p{t - 1})")
+            nrm = " + ".join(f"w{t}_{k}*w{t}_{k}" for k in range(d))
+            vs = ", ".join(f"w{t}_{j}/sqrt({nrm}) AS v{t}_{j}" for j in range(d))
+            ctes.append(f"p{t} AS (SELECT *, {vs} FROM w{t})")
+        tot = " + ".join(f"({dims[j]}-m{j})*({dims[j]}-m{j})" for j in range(d))
+        proj = " + ".join(f"({dims[j]}-m{j})*v{n_iter}_{j}" for j in range(d))
+        return (
+            "WITH " + base_sql + ",\n" + ",\n".join(ctes) + "\n"
+            f"SELECT event_id, round(({tot}) - ({proj})*({proj}), 6) + 0.0 AS pca_resid\n"
+            f"FROM base CROSS JOIN p{n_iter}"
+        )
+
+    o["pca_outlier_4d"] = _pcad_oracle(_GMM4_BASE, ["a", "b", "c", "d"])
 
     # AEGMM / VAEGMM feature-map CTEs (mirror outlier.aegmm_features) feeding
     # the same unrolled-EM chain

@@ -325,6 +325,79 @@ def pca_outlier_2feat(
     )
 
 
+def pca_outlier_dfeat(
+    df,
+    cols: tuple[str, ...],
+    id_col: str = "event_id",
+    n_iter: int = 8,
+):
+    """Linear-PCA outlier score over ANY number of features with a FIXED-
+    ITERATION POWER METHOD — the parameterized-d oracle instance of
+    ``alibi_detect/od/_pca.py`` semantics (fit = covariance eigenbasis, drop
+    the top component, score = residual variance off the principal
+    direction). The d-dim eigendecomposition variant stays in
+    :func:`pca_outlier_scores` (rows-only).
+
+    Exactness-by-construction: the covariance comes from exact DECIMAL
+    moments (order-free under any partitioning), and the power iteration is
+    driver-side scalar float math with a FIXED deterministic init (e₁) and a
+    FIXED iteration count — no RNG, no quantization needed, because every
+    operation (4×4 mat-vec, norm, divide) is an IEEE expression the SQL twin
+    mirrors term-for-term from the same exact sums. Fixed ``n_iter`` is part
+    of the spec (like the quantized-EM GMM's fixed E/M steps); with d=4 and
+    a clear spectral gap, 8 iterations is far past float32 convergence, and
+    when the gap is small the operator is still a well-defined deterministic
+    scorer in both engines.
+
+    Scale shape: ONE partial+final moment aggregate (d + d(d+1)/2 + 1 exact
+    sums), all remaining math on the driver, then one codegen scan with the
+    (μ, v) literals in the closure — no joins, no Python stages."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    d = len(cols)
+    dec = [F.col(c).cast("decimal(18,4)") for c in cols]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for j in range(d):
+        aggs.append(F.sum(dec[j]).cast("double").alias(f"s{j}"))
+    for j in range(d):
+        for k in range(j, d):
+            aggs.append(F.sum(dec[j] * dec[k]).cast("double").alias(f"s{j}{k}"))
+    g = df.agg(*aggs).collect()[0]
+    n = g["n"]
+    mu = [g[f"s{j}"] / n for j in range(d)]
+    cmat = [[0.0] * d for _ in range(d)]
+    for j in range(d):
+        for k in range(j, d):
+            cjk = g[f"s{j}{k}"] / n - (g[f"s{j}"] / n) * (g[f"s{k}"] / n)
+            cmat[j][k] = cmat[k][j] = cjk
+
+    v = [1.0] + [0.0] * (d - 1)
+    for _ in range(n_iter):
+        w = []
+        for j in range(d):
+            acc = cmat[j][0] * v[0]
+            for k in range(1, d):
+                acc = acc + cmat[j][k] * v[k]
+            w.append(acc)
+        nrm2 = w[0] * w[0]
+        for k in range(1, d):
+            nrm2 = nrm2 + w[k] * w[k]
+        nrm = math.sqrt(nrm2)
+        v = [wj / nrm for wj in w]
+
+    xc = [F.col(c).cast("double") - F.lit(m) for c, m in zip(cols, mu)]
+    tot = xc[0] * xc[0]
+    proj = xc[0] * F.lit(v[0])
+    for j in range(1, d):
+        tot = tot + xc[j] * xc[j]
+        proj = proj + xc[j] * F.lit(v[j])
+    return df.select(
+        id_col, (F.round(tot - proj * proj, 6) + F.lit(0.0)).alias("pca_resid")
+    )
+
+
 def vae_outlier_2feat(
     df, cols: tuple[str, str], id_col: str, top_k: int = 100, eps: float = 1e-9
 ):

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "gmm_outlier",
     "gmm_outlier_2c",
     "gmm_outlier_4d",
+    "pca_outlier_4d",
     "lof_outlier",
     "kpca_outlier",
     "iforest_outlier",

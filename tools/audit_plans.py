@@ -419,6 +419,25 @@ def main() -> None:
         "```\n" + "\n".join(l for l in p.splitlines() if l.strip())[:1200] + "\n```\n"
     )
 
+    # 6l2. pca_outlier_4d: same single-scan closed-form shape (one moment
+    #      aggregate at build, power iteration driver-side, literal (mu, v)
+    #      in the scoring scan)
+    df = qs["pca_outlier_4d"](spark, SF)
+    p = plan_of(df)
+    n_scans = p.count(") Scan parquet")
+    ok = n_scans == 1 and "Join" not in p and "MapInPandas" not in p
+    if not ok:
+        failures.append(
+            f"pca_outlier_4d: final plan wants 1 scan, no joins/Python (got {n_scans} scans)"
+        )
+    sections.append(
+        "## pca_outlier_4d — single-scan closed-form scoring\n\n"
+        "Parameterized-d PCA: one exact-moment aggregate at build time, the "
+        "fixed-iteration power method on the driver, and a scoring plan of "
+        f"exactly one codegen corpus scan. Check: {'OK' if ok else 'FAIL'} "
+        f"({n_scans} scan(s))\n"
+    )
+
     # 6m. knn_ensemble PValNormalizer: two-level bucketed ECDF — the within-
     #     bucket window must be partitioned (kk, bkt), never a global sort;
     #     no CartesianProduct anywhere (stats travel via broadcast)

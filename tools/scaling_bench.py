@@ -70,6 +70,8 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_scaling.json"))
     ap.add_argument("--raw-path", default=None, help="reuse a pre-generated input instead of regenerating")
     ap.add_argument("--rows-per-bucket", type=int, default=4096)
+    ap.add_argument("--jobs-per-level", type=int, default=2,
+                    help="independent JVM launches per cores level; per-stage min taken")
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="adspark_scale_")
@@ -110,20 +112,31 @@ def main() -> None:
         # throughput down 32% at 32 workers; the hash-agg drops ~50% at 16).
         # Executors on a real cluster don't share one memory bus, so the
         # low-count pair is the honest single-box analog of N→4N executors.
+        # Per-stage MIN across `--jobs-per-level` independent JVM launches
+        # (each already the min of 3 in-JVM repeats): the sandbox is a shared
+        # hypervisor tenant and a single launch can absorb a neighbor's burst
+        # — min-of-K is the standard interference-rejecting estimator for a
+        # capability (not a latency-SLO) benchmark. Both levels get the same
+        # K over the same input, so the comparison stays symmetric.
         results = {}
         for cores in (2, 8):
-            wh = os.path.join(workdir, f"wh{cores}")
-            r = run_job(cores, raw_path, wh, workdir)
-            work_sec = sum(r["stage_seconds"].values())
-            points = r["rollup_1h_rows"]
+            stage_min: dict[str, float] = {}
+            points = pages = 0
+            for j in range(max(args.jobs_per_level, 1)):
+                wh = os.path.join(workdir, f"wh{cores}_{j}")
+                r = run_job(cores, raw_path, wh, workdir)
+                for k, v in r["stage_seconds"].items():
+                    stage_min[k] = min(stage_min.get(k, float("inf")), v)
+                points, pages = r["rollup_1h_rows"], r["pages"]
+                shutil.rmtree(wh, ignore_errors=True)
+            work_sec = sum(stage_min.values())
             results[cores] = {
-                "stage_seconds": r["stage_seconds"],
+                "stage_seconds": stage_min,
                 "work_sec": round(work_sec, 2),
                 "rollup_points": points,
-                "pages": r["pages"],
+                "pages": pages,
                 "raw_rows_per_sec": round(args.rows / work_sec, 0),
             }
-            shutil.rmtree(wh, ignore_errors=True)
 
         t8, t32 = results[2]["work_sec"], results[8]["work_sec"]
         # metric phase per BASELINE.json: tier-1 rollup + Gorilla page encode
