@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -609,6 +610,7 @@ def lsdd_hash_stream(
     sigma: float = 5.0,
     lam: float = 0.25,
     quant: int = 1_000_000_000,
+    decision_thresholds: tuple[float, ...] | None = None,
 ) -> DataFrame:
     """Stateful streaming twin of
     :func:`..operators.detect.lsdd_online_stats_over` (the declarative
@@ -618,7 +620,15 @@ def lsdd_hash_stream(
     values the centers are derived from. Because every sum is an exact
     integer and the scalar chain mirrors the batch operator's expression
     tree, the stream reproduces the batch trajectory bit-for-bit under any
-    micro-batch slicing."""
+    micro-batch slicing.
+
+    With ``decision_thresholds`` (e.g.
+    ``functions.online_thresholds.lsdd2_decision_thresholds()``) the stream
+    ALSO emits the decision path of the batch ``lsdd_decisions`` query:
+    per-step threshold lookup on the absolute stream time (warm-up-varying,
+    clamped at ``window_size`` — ``cd/base_online.py:131-144`` indexing) and
+    ``lsdd_is_drift = stat > threshold`` over the identically-rounded stat,
+    so streamed decisions equal the batch comparisons exactly."""
     if window_size < 2:
         # keep=0 would slice h[-0:] = the WHOLE array, growing the state
         # store unboundedly (and a 1-point LSDD window is degenerate anyway)
@@ -694,21 +704,43 @@ def lsdd_hash_stream(
                         hh2 = sr2 / (n_ref * float(quant)) - w2 / (window_size * float(quant))
                         stat = m11 * (hh1 * hh1 + hh2 * hh2) + 2.0 * m12 * hh1 * hh2
                         out_ts = ts[sm][full]
-                        yield pd.DataFrame(
-                            {
-                                "source": source,
-                                "bucket_ts": out_ts,
-                                "lsdd_stat": np.round(stat, 9) + 0.0,
-                            }
-                        )
+                        row = {
+                            "source": source,
+                            "bucket_ts": out_ts,
+                            "lsdd_stat": np.round(stat, 9) + 0.0,
+                        }
+                        if decision_thresholds is not None:
+                            # 1-based step since the first full window, from
+                            # the ABSOLUTE row number (the kq tail only holds
+                            # the last window_size-1 features, so positions
+                            # within this batch cannot index the thresholds)
+                            t_step = rn[sm][full] - n_ref - window_size + 1
+                            t_idx = np.minimum(t_step, window_size) - 1
+                            thr = np.asarray(decision_thresholds, dtype=np.float64)[t_idx]
+                            row["lsdd_threshold"] = thr
+                            row["lsdd_is_drift"] = (row["lsdd_stat"] > thr).astype(np.int32)
+                        yield pd.DataFrame(row)
                     tail1 = [int(x) for x in h1[-keep:]]
                     tail2 = [int(x) for x in h2[-keep:]]
                 n0 = int(rn[-1])
         state.update((n0, c1, c2, sr1, sr2, tail1, tail2, pend, last_ts))
 
+    out_schema = LSDDH_OUT_SCHEMA
+    if decision_thresholds is not None:
+        if len(decision_thresholds) < window_size:
+            raise ValueError(
+                f"decision_thresholds needs >= window_size={window_size} entries"
+            )
+        out_schema = StructType(
+            list(LSDDH_OUT_SCHEMA.fields)
+            + [
+                StructField("lsdd_threshold", DoubleType()),
+                StructField("lsdd_is_drift", IntegerType()),
+            ]
+        )
     return rollup.groupBy("source").applyInPandasWithState(
         fn,
-        outputStructType=LSDDH_OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=LSDDH_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",

@@ -97,3 +97,73 @@ def test_decision_queries_shape(spark, sf_dir, name):
     assert set(out.columns) == {"detector", key, "n_scored", "n_drift"}
     assert (out["n_drift"] <= out["n_scored"]).all()
     assert (out["n_drift"] >= 0).all()
+
+
+def test_lsdd_hash_stream_decisions_match_batch(spark, tmp_path):
+    """lsdd_hash_stream with decision_thresholds emits the SAME decisions the
+    batch lsdd_decisions comparison produces: rounded stat > thr[min(t, W)]
+    with t the absolute step index — across micro-batch boundaries."""
+    import os
+
+    import numpy as np
+
+    from alibi_detect_spark.operators.detect import lsdd_online_stats_over
+    from alibi_detect_spark.operators.rollup import rollup_tier1
+    from alibi_detect_spark.streaming.rollup_stream import lsdd_hash_stream
+    from alibi_detect_spark.synth import SynthConfig, synth_batch
+
+    tmp = str(tmp_path)
+    cfg = SynthConfig(n_rows=40_000, n_sources=4, rows_per_bucket=64)
+    raw = spark.createDataFrame(
+        synth_batch(np.arange(0, 40_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    rollup = rollup_tier1(raw, "1h").toPandas().sort_values(["source", "bucket_ts"])
+    W = 6
+    thr = lsdd2_decision_thresholds(n_ref=40, window_size=W, n_bootstraps=200, lo=0.0, hi=200.0)
+
+    batch = (
+        lsdd_online_stats_over(
+            spark.createDataFrame(rollup), "source", "bucket_ts", "mean_n_tok",
+            n_ref=40, window_size=W,
+        )
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+    )
+    batch["t"] = batch.groupby("source").cumcount() + 1
+    tarr = np.asarray(thr)[np.minimum(batch["t"].to_numpy(), W) - 1]
+    batch_drift = (batch["lsdd_stat"].to_numpy() > tarr).astype(np.int32)
+
+    cut = rollup["bucket_ts"].median()
+    os.makedirs(f"{tmp}/din", exist_ok=True)
+    rollup[rollup["bucket_ts"] <= cut].to_parquet(f"{tmp}/din/p0.parquet", index=False)
+    rollup[rollup["bucket_ts"] > cut].to_parquet(f"{tmp}/din/p1.parquet", index=False)
+    src = (
+        spark.readStream.schema(
+            "source string, bucket_ts long, n_docs long, sum_n_tok long,"
+            " min_n_tok int, max_n_tok int, mean_n_tok double, gapfilled boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/din")
+    )
+    q = (
+        lsdd_hash_stream(
+            src, value_col="mean_n_tok", n_ref=40, window_size=W,
+            decision_thresholds=thr,
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/dout")
+        .option("checkpointLocation", f"{tmp}/dckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{tmp}/dout").toPandas().sort_values(["source", "bucket_ts"])
+    assert len(got) == len(batch) > 0
+    assert np.array_equal(got["bucket_ts"].to_numpy(), batch["bucket_ts"].to_numpy())
+    assert np.array_equal(
+        got["lsdd_stat"].to_numpy(np.float64).view(np.uint64),
+        batch["lsdd_stat"].to_numpy(np.float64).view(np.uint64),
+    )
+    assert np.array_equal(got["lsdd_is_drift"].to_numpy(np.int32), batch_drift)
+    assert got["lsdd_is_drift"].sum() > 0  # thresholds inside the stat range
