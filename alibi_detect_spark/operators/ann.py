@@ -113,10 +113,16 @@ def knn_ensemble_scores(
         dists.join(ref_rel, dists[id_col] == F.col("__rid"), "left")
         .select(id_col, F.col("__rid").isNotNull().alias("is_ref"), F.expr(stack_expr))
     )
+    # bucket at 1e-4 granularity: distances are rounded to 6dp, so a bucket
+    # holds <= 100 distinct values while the bucket relation stays tiny
+    # relative to the corpus (unit-norm embeddings put every distance in
+    # [0, 2] — a coarser floor(dv) would collapse to ONE bucket and
+    # single-task the cumulative again). The bucket width only shapes the
+    # execution; the cumulative sums are identical under any bucketing.
     g = (
         long.groupBy("kk", "dv")
         .agg(F.sum(F.col("is_ref").cast("long")).alias("c_ref"))
-        .withColumn("bkt", F.floor("dv"))
+        .withColumn("bkt", F.floor(F.col("dv") * 10000))
     )
     per_b = g.groupBy("kk", "bkt").agg(F.sum("c_ref").alias("cb"))
     wb = Window.partitionBy("kk").orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
