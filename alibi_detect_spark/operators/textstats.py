@@ -107,3 +107,79 @@ def tokens_from_text(docs: DataFrame, text: str = "text", vocab: int = 50_257, e
         "source",
         *extra_cols,
     )
+
+
+def lm_unigram_score(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document perplexity-style quality score under the CORPUS unigram
+    MLE — the classic LM quality filter of large-scale training-data
+    pipelines (CCNet / Gopher style: keep documents whose tokens the corpus
+    language model finds probable).
+
+    ``score = −mean_w ln P(w)`` with ``P(w) = count(w) / total`` over the
+    whole corpus. Exactness: log-probabilities are QUANTIZED to 1e-6 at the
+    vocabulary relation (one row per word — tiny vs the corpus), so the
+    per-doc aggregation is an exact integer sum (order-free under any
+    partitioning); the 1-ulp libm `ln` divergence between engines is
+    absorbed by the quantization.
+
+    Scale shape: one exploded-word shuffle for vocabulary counts (map-side
+    partial agg), one broadcast of the 1-row total, one equi-join of words
+    to the vocabulary (both sides shuffle on the word key — at 100 TB the
+    vocabulary relation is Zipf-small and broadcastable, but the equi-join
+    is correct at any vocabulary size), one per-doc aggregate."""
+    w = _words(text)
+    words = docs.select("doc_id", F.explode(w).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    vq = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.log(F.col("cnt") / F.col("total")) * 1000000).cast("long").alias("lq"),
+    )
+    per_doc = (
+        words.join(vq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_w"),
+            F.sum(F.col("lq").cast("decimal(38,0)")).cast("double").alias("s_lq"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_w").cast("long").alias("n_words"),
+        (F.round(-(F.col("s_lq") / F.lit(1000000.0)) / F.col("n_w"), 6) + F.lit(0.0)).alias(
+            "lm_score"
+        ),
+    )
+
+
+def doc_repetition(docs: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
+    """Within-document repetition ratio — the Gopher repetition quality rule:
+    fraction of the document's word n-grams that are duplicates of an
+    earlier occurrence, ``1 − distinct_ngrams / total_ngrams``. Documents
+    shorter than ``n`` words are excluded (no n-grams to judge).
+
+    Pure relational plan: explode n-grams, one (doc, gram) count aggregate
+    (map-side partial), one per-doc aggregate — exact integer ratio, no UDF,
+    scales by the gram shuffle key."""
+    w = _words(text)
+    grams = F.expr(
+        f"transform(sequence(1, size(split({text}, ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split({text}, ' '), i, {n})))"
+    )
+    g = (
+        docs.where(F.size(w) >= n)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_doc = g.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("uniq"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_grams"),
+        (F.round(F.lit(1.0) - F.col("uniq") / F.col("total"), 6) + F.lit(0.0)).alias(
+            "rep_ratio"
+        ),
+    )

@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "quality_score",
     "token_counts",
     "fingerprint",
+    "lm_unigram_score",
+    "doc_repetition",
     "quantile_thresholds",
     "reservoir_sample",
     "tpch_q1",

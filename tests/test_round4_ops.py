@@ -167,3 +167,40 @@ def test_lsdd_hash_stream_decisions_match_batch(spark, tmp_path):
     )
     assert np.array_equal(got["lsdd_is_drift"].to_numpy(np.int32), batch_drift)
     assert got["lsdd_is_drift"].sum() > 0  # thresholds inside the stat range
+
+
+def test_text_pipeline_quality_ops(spark):
+    """lm_unigram_score ranks an all-rare-words doc as less probable than a
+    common-words doc; doc_repetition computes the exact duplicate-3-gram
+    fraction."""
+    import pandas as pd
+
+    from alibi_detect_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat sat on the mat the cat sat on the mat",  # repetitive, common
+                    "quantum chromodynamics lattice renormalization",  # rare words
+                    "the cat ran to the mat",
+                ],
+            }
+        )
+    )
+    lm = {r["doc_id"]: r["lm_score"] for r in textstats.lm_unigram_score(docs).collect()}
+    # every word of doc 2 occurs once in the corpus -> highest surprise
+    assert lm[2] > lm[1] and lm[2] > lm[3]
+
+    rep = {r["doc_id"]: r for r in textstats.doc_repetition(docs, n=3).collect()}
+    # doc 1: 10 3-grams; the second half repeats the first 5 except the
+    # bridging grams -> exact expected ratio 1 - uniq/total
+    grams = lambda t: [" ".join(t.split()[i:i+3]) for i in range(len(t.split()) - 2)]
+    for did, text in [(1, "the cat sat on the mat the cat sat on the mat"),
+                      (3, "the cat ran to the mat")]:
+        g = grams(text)
+        expect = round(1.0 - len(set(g)) / len(g), 6)
+        assert abs(rep[did]["rep_ratio"] - expect) < 1e-9, (did, rep[did])
+        assert rep[did]["n_grams"] == len(g)
+    assert rep[1]["rep_ratio"] > 0.0 and rep[3]["rep_ratio"] == 0.0
