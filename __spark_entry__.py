@@ -826,6 +826,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint"] = lambda s, sf: textstats.fingerprint(_t(s, sf, "documents"))
     # corpus-LM quality filter + Gopher repetition rule (training-pipeline
     # text ops beyond the reference's own surface)
+    # multivariate (64-dim embedding) MMD drift — the reference's flagship
+    # d-dimensional configuration
+    q["mmd_drift_vec"] = lambda s, sf: drift.mmd_2samp_vec(
+        _t(s, sf, "embeddings"), n_per_side=128, sigma=1.0
+    )
     q["lm_unigram_score"] = lambda s, sf: textstats.lm_unigram_score(
         _t(s, sf, "documents")
     )
@@ -864,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4
         "mmd_decisions", "fet_decisions", "lsdd_decisions", "gmm_outlier_4d",
         "pca_outlier_4d", "lm_unigram_score", "doc_repetition",
+        "mmd_drift_vec",
         # code changed in round 4 (media_features: driver-hashable embedding
         # projection; knn_ensemble: PValNormalizer column; trend/seasonal +
         # gmm: decimal moments / zero guards)
@@ -1243,6 +1249,31 @@ agg AS (SELECT
   sum(CASE WHEN sa <> 'ref' AND sb <> 'ref' THEN 1 ELSE 0 END) AS mm,
   sum(CASE WHEN sa = 'ref' AND sb <> 'ref' THEN 1 ELSE 0 END) AS nm
   FROM p)
+SELECT CAST(sqrt(nn) AS BIGINT) AS n_ref, CAST(sqrt(mm) AS BIGINT) AS n_test,
+       round(kxx/(sqrt(nn)*(sqrt(nn)-1)) + kyy/(sqrt(mm)*(sqrt(mm)-1)) - 2*kxy/nm, 6) + 0.0 AS mmd2
+FROM agg
+"""
+
+    o["mmd_drift_vec"] = """
+WITH lab AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+                    vec_id AS o, embedding AS v FROM embeddings),
+sub AS (SELECT s, o, v, row_number() OVER (PARTITION BY s ORDER BY o) AS rn FROM lab
+        QUALIFY rn <= 128),
+ex AS (SELECT s, rn, j,
+              CAST(round(CAST(v[CAST(j AS INTEGER) + 1] AS DOUBLE)*1000000) AS BIGINT) AS xq
+       FROM sub, generate_series(0, 63) AS t(j)),
+p AS (SELECT a.s AS sa, a.rn AS ia, b.s AS sb, b.rn AS ib,
+             CAST(sum((a.xq - b.xq)*(a.xq - b.xq)) AS DOUBLE) AS d2q
+      FROM ex a JOIN ex b USING (j) GROUP BY 1, 2, 3, 4),
+kk AS (SELECT sa, ia, sb, ib, exp(-0.5*(d2q/1000000000000.0)) AS k FROM p),
+agg AS (SELECT
+  sum(CASE WHEN sa = 'ref' AND sb = 'ref' AND ia <> ib THEN k ELSE 0.0 END) AS kxx,
+  sum(CASE WHEN sa <> 'ref' AND sb <> 'ref' AND ia <> ib THEN k ELSE 0.0 END) AS kyy,
+  sum(CASE WHEN sa = 'ref' AND sb <> 'ref' THEN k ELSE 0.0 END) AS kxy,
+  sum(CASE WHEN sa = 'ref' AND sb = 'ref' THEN 1 ELSE 0 END) AS nn,
+  sum(CASE WHEN sa <> 'ref' AND sb <> 'ref' THEN 1 ELSE 0 END) AS mm,
+  sum(CASE WHEN sa = 'ref' AND sb <> 'ref' THEN 1 ELSE 0 END) AS nm
+  FROM kk)
 SELECT CAST(sqrt(nn) AS BIGINT) AS n_ref, CAST(sqrt(mm) AS BIGINT) AS n_test,
        round(kxx/(sqrt(nn)*(sqrt(nn)-1)) + kyy/(sqrt(mm)*(sqrt(mm)-1)) - 2*kxy/nm, 6) + 0.0 AS mmd2
 FROM agg

@@ -211,6 +211,79 @@ def mmd_2samp(
     )
 
 
+def mmd_2samp_vec(
+    emb: DataFrame,
+    n_per_side: int = 128,
+    sigma: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Unbiased MMD² between two deterministic subsamples of an EMBEDDING
+    column — the reference's flagship multivariate drift configuration
+    (``alibi_detect/cd/pytorch/mmd.py:113-137`` over d-dim instances; the
+    scalar instance is :func:`mmd_2samp`).
+
+    The pairwise squared distances are computed RELATIONALLY: posexplode the
+    vectors to (row, dim, value) with values quantized to 1e-6 ints, join on
+    the dimension key (the exploded small side broadcasts — no shuffle), and
+    the per-pair ``Σ_j (x_j − y_j)²`` is an exact integer aggregate —
+    order-free under any partitioning, so both engines feed IDENTICAL
+    doubles into the kernel exp. Kernel/block sums then follow the scalar
+    operator's tail.
+
+    Scale shape: the subsample head (n ≤ n_per_side per side) is the only
+    full scan; the pair relation is bounded by (2n)²·d regardless of corpus
+    size, with map-side partial aggregation on the pair keys."""
+    s = F.when(F.col(id_col) % 2 == 0, F.lit("ref")).otherwise(F.lit("test"))
+    w = Window.partitionBy("s").orderBy("o")
+    sub = (
+        emb.select(s.alias("s"), F.col(id_col).alias("o"), F.col(vec_col).alias("v"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_side)
+    )
+    ex = sub.select("s", "rn", F.posexplode("v").alias("j", "x")).select(
+        "s",
+        "rn",
+        "j",
+        F.round(F.col("x").cast("double") * quant).cast("long").alias("xq"),
+    )
+    a = ex.select(
+        F.col("s").alias("sa"), F.col("rn").alias("ia"), "j", F.col("xq").alias("xa")
+    )
+    b = ex.select(
+        F.col("s").alias("sb"), F.col("rn").alias("ib"), F.col("j").alias("jb"),
+        F.col("xq").alias("xb"),
+    )
+    diff = F.col("xa") - F.col("xb")
+    d2 = (
+        a.join(F.broadcast(b), F.col("j") == F.col("jb"))
+        .groupBy("sa", "ia", "sb", "ib")
+        .agg(F.sum((diff * diff).cast("decimal(38,0)")).cast("double").alias("d2q"))
+    )
+    gamma = 1.0 / (2.0 * sigma * sigma)
+    qq = float(quant) * float(quant)
+    pairs = d2.withColumn("k", F.exp(F.lit(-gamma) * (F.col("d2q") / F.lit(qq))))
+    agg = pairs.agg(
+        F.sum(F.when((F.col("sa") == "ref") & (F.col("sb") == "ref") & (F.col("ia") != F.col("ib")), F.col("k")).otherwise(0.0)).alias("kxx"),
+        F.sum(F.when((F.col("sa") != "ref") & (F.col("sb") != "ref") & (F.col("ia") != F.col("ib")), F.col("k")).otherwise(0.0)).alias("kyy"),
+        F.sum(F.when((F.col("sa") == "ref") & (F.col("sb") != "ref"), F.col("k")).otherwise(0.0)).alias("kxy"),
+        F.sum(F.when((F.col("sa") == "ref") & (F.col("sb") == "ref"), 1).otherwise(0)).alias("nn"),
+        F.sum(F.when((F.col("sa") != "ref") & (F.col("sb") != "ref"), 1).otherwise(0)).alias("mm"),
+        F.sum(F.when((F.col("sa") == "ref") & (F.col("sb") != "ref"), 1).otherwise(0)).alias("nm"),
+    )
+    n = F.sqrt(F.col("nn").cast("double"))
+    m = F.sqrt(F.col("mm").cast("double"))
+    mmd2 = (
+        F.col("kxx") / (n * (n - 1)) + F.col("kyy") / (m * (m - 1)) - 2 * F.col("kxy") / F.col("nm")
+    )
+    return agg.select(
+        n.cast("long").alias("n_ref"),
+        m.cast("long").alias("n_test"),
+        (F.round(mmd2, 6) + F.lit(0.0)).alias("mmd2"),
+    )
+
+
 def tabular_drift(
     df: DataFrame,
     num_cols: list[str],

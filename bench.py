@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "cvm_drift",
     "chi2_drift",
     "mmd_drift",
+    "mmd_drift_vec",
     "mmd_perm_test",
     "lsdd_perm_test",
     "lsdd_perm_hash",
