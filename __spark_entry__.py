@@ -831,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mmd_drift_vec"] = lambda s, sf: drift.mmd_2samp_vec(
         _t(s, sf, "embeddings"), n_per_side=128, sigma=1.0
     )
+    q["mmd_perm_vec"] = lambda s, sf: drift.mmd_perm_test_vec(
+        _t(s, sf, "embeddings"), n_per_side=128, sigma=1.0, n_permutations=50
+    )
     q["lm_unigram_score"] = lambda s, sf: textstats.lm_unigram_score(
         _t(s, sf, "documents")
     )
@@ -869,7 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4
         "mmd_decisions", "fet_decisions", "lsdd_decisions", "gmm_outlier_4d",
         "pca_outlier_4d", "lm_unigram_score", "doc_repetition",
-        "mmd_drift_vec",
+        "mmd_drift_vec", "mmd_perm_vec",
         # code changed in round 4 (media_features: driver-hashable embedding
         # projection; knn_ensemble: PValNormalizer column; trend/seasonal +
         # gmm: decimal moments / zero guards)
@@ -1277,6 +1280,41 @@ agg AS (SELECT
 SELECT CAST(sqrt(nn) AS BIGINT) AS n_ref, CAST(sqrt(mm) AS BIGINT) AS n_test,
        round(kxx/(sqrt(nn)*(sqrt(nn)-1)) + kyy/(sqrt(mm)*(sqrt(mm)-1)) - 2*kxy/nm, 6) + 0.0 AS mmd2
 FROM agg
+"""
+
+    o["mmd_perm_vec"] = """
+WITH lab AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+                    vec_id AS o, embedding AS v FROM embeddings),
+sub AS (SELECT s, o, v, row_number() OVER (PARTITION BY s ORDER BY o) AS rn FROM lab
+        QUALIFY rn <= 128),
+pool AS (SELECT CASE WHEN s = 'ref' THEN rn ELSE 128 + rn END AS gid, v FROM sub),
+ex AS (SELECT gid, j,
+              CAST(round(CAST(v[CAST(j AS INTEGER) + 1] AS DOUBLE)*1000000) AS BIGINT) AS xq
+       FROM pool, generate_series(0, 63) AS t(j)),
+pairs AS (SELECT a.gid AS ia, b.gid AS ib,
+                 exp(-0.5*(CAST(sum((a.xq - b.xq)*(a.xq - b.xq)) AS DOUBLE)/1000000000000.0)) AS k
+          FROM ex a JOIN ex b USING (j) GROUP BY 1, 2),
+obs AS (SELECT
+      sum(CASE WHEN ia <= 128 AND ib <= 128 AND ia <> ib THEN k ELSE 0 END)/(128*127.0)
+    + sum(CASE WHEN ia > 128 AND ib > 128 AND ia <> ib THEN k ELSE 0 END)/(128*127.0)
+    - 2.0*sum(CASE WHEN ia <= 128 AND ib > 128 THEN k ELSE 0 END)/(128*128.0) AS stat
+    FROM pairs),
+assign AS (SELECT p, gid,
+           CASE WHEN row_number() OVER (PARTITION BY p
+                ORDER BY md5(CAST(p AS VARCHAR) || ':' || CAST(gid AS VARCHAR))) <= 128
+                THEN 1 ELSE 0 END AS is_x
+           FROM (SELECT unnest(generate_series(1, 50)) AS p) CROSS JOIN pool),
+ps AS (SELECT ax.p AS p,
+      sum(CASE WHEN ax.is_x = 1 AND bx.is_x = 1 AND pairs.ia <> pairs.ib THEN k ELSE 0 END)/(128*127.0)
+    + sum(CASE WHEN ax.is_x = 0 AND bx.is_x = 0 AND pairs.ia <> pairs.ib THEN k ELSE 0 END)/(128*127.0)
+    - 2.0*sum(CASE WHEN ax.is_x = 1 AND bx.is_x = 0 THEN k ELSE 0 END)/(128*128.0) AS stat
+    FROM pairs JOIN assign ax ON ax.gid = pairs.ia
+               JOIN assign bx ON bx.gid = pairs.ib AND bx.p = ax.p
+    GROUP BY 1)
+SELECT CAST(128 AS BIGINT) AS n_ref, CAST(128 AS BIGINT) AS n_test,
+       round(obs.stat, 6) + 0.0 AS mmd2,
+       round(sum(CASE WHEN obs.stat <= ps.stat THEN 1 ELSE 0 END)/50.0, 6) AS p_value
+FROM ps CROSS JOIN obs GROUP BY obs.stat
 """
 
     o["mmd_perm_test"] = """

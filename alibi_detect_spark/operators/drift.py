@@ -284,6 +284,87 @@ def mmd_2samp_vec(
     )
 
 
+def mmd_perm_test_vec(
+    emb: DataFrame,
+    n_per_side: int = 128,
+    sigma: float = 1.0,
+    n_permutations: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Offline MMD permutation test over an EMBEDDING column with
+    hash-derived permutations — the d-dimensional twin of
+    :func:`mmd_perm_test_hash` (reference ``cd/pytorch/mmd.py:138-140`` +
+    ``utils/statstest.py:5-38``: p = share of permutations whose MMD² ≥ the
+    observed one).
+
+    The pooled kernel matrix is computed ONCE from quantized integer
+    distances (``Σ_j (x_j − y_j)²`` over 1e-6-rounded components — exactly
+    the relation the SQL twin aggregates), and every md5-ordered relabeling
+    re-indexes it; the subsample head is the only full scan."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    s = F.when(F.col(id_col) % 2 == 0, F.lit("ref")).otherwise(F.lit("test"))
+    w = Window.partitionBy("s").orderBy("o")
+    sub = (
+        emb.select(s.alias("s"), F.col(id_col).alias("o"), F.col(vec_col).alias("v"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_side)
+        .select("s", "rn", "v")
+    )
+    gamma = 1.0 / (2.0 * sigma * sigma)
+    qq = float(quant) * float(quant)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["s", "rn"], kind="mergesort")
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float64) * float(quant)
+        # HALF-AWAY-FROM-ZERO to match Spark/DuckDB round() (np.round is
+        # half-even and would diverge on exact .5 products)
+        xq = np.where(x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)).astype(np.int64)
+        d2q = ((xq[:, None, :] - xq[None, :, :]) ** 2).sum(axis=-1).astype(np.float64)
+        k = np.exp(-gamma * (d2q / qq))
+        n = int((pdf["s"] == "ref").sum())
+        m = len(xq) - n
+
+        def mmd2(x_mask: np.ndarray) -> float:
+            kxx = k[np.ix_(x_mask, x_mask)]
+            kyy = k[np.ix_(~x_mask, ~x_mask)]
+            kxy = k[np.ix_(x_mask, ~x_mask)]
+            nn, mm = int(x_mask.sum()), int((~x_mask).sum())
+            return (
+                (kxx.sum() - np.trace(kxx)) / (nn * (nn - 1.0))
+                + (kyy.sum() - np.trace(kyy)) / (mm * (mm - 1.0))
+                - 2.0 * kxy.sum() / (nn * float(mm))
+            )
+
+        obs_mask = (pdf["s"] == "ref").to_numpy()
+        stat = mmd2(obs_mask)
+        gid = np.where(obs_mask, pdf["rn"].to_numpy(), n_per_side + pdf["rn"].to_numpy())
+        hits = 0
+        for p in range(1, n_permutations + 1):
+            pri = np.array([hashlib.md5(f"{p}:{g}".encode()).hexdigest() for g in gid])
+            order = np.argsort(pri, kind="stable")
+            mask = np.zeros(len(xq), dtype=bool)
+            mask[order[:n]] = True
+            hits += int(stat <= mmd2(mask))
+        return pd.DataFrame(
+            {
+                "n_ref": [n],
+                "n_test": [m],
+                "mmd2": [round(stat, 6) + 0.0],
+                "p_value": [round(hits / n_permutations, 6)],
+            }
+        )
+
+    return sub.groupBy().applyInPandas(
+        fn, schema="n_ref long, n_test long, mmd2 double, p_value double"
+    )
+
+
 def tabular_drift(
     df: DataFrame,
     num_cols: list[str],

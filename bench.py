@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "chi2_drift",
     "mmd_drift",
     "mmd_drift_vec",
+    "mmd_perm_vec",
     "mmd_perm_test",
     "lsdd_perm_test",
     "lsdd_perm_hash",

@@ -204,3 +204,27 @@ def test_text_pipeline_quality_ops(spark):
         assert abs(rep[did]["rep_ratio"] - expect) < 1e-9, (did, rep[did])
         assert rep[did]["n_grams"] == len(g)
     assert rep[1]["rep_ratio"] > 0.0 and rep[3]["rep_ratio"] == 0.0
+
+
+def test_mmd_vec_detects_embedding_shift(spark):
+    """Multivariate MMD: H0 split gives a small stat / large p; a mean-shifted
+    test side gives a larger stat and p ~ 0."""
+    import pandas as pd
+
+    from alibi_detect_spark.operators import drift
+
+    rng = np.random.default_rng(11)
+    d, n = 16, 120
+    base = rng.normal(size=(2 * n, d)).astype(np.float32)
+    h0 = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(2 * n, dtype=np.int64), "embedding": list(base)})
+    )
+    r0 = drift.mmd_perm_test_vec(h0, n_per_side=64, sigma=2.0, n_permutations=30).collect()[0]
+    shifted = base.copy()
+    shifted[1::2] += 1.5  # odd ids = test side
+    h1 = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(2 * n, dtype=np.int64), "embedding": list(shifted)})
+    )
+    r1 = drift.mmd_perm_test_vec(h1, n_per_side=64, sigma=2.0, n_permutations=30).collect()[0]
+    assert r1["mmd2"] > r0["mmd2"]
+    assert r1["p_value"] == 0.0 and r0["p_value"] > 0.1
