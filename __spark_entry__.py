@@ -831,6 +831,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mmd_drift_vec"] = lambda s, sf: drift.mmd_2samp_vec(
         _t(s, sf, "embeddings"), n_per_side=128, sigma=1.0
     )
+    # oracle-green logistic head (quantized 2-step IRLS; the pyspark.ml
+    # L-BFGS variant stays reference-faithful and rows-only)
+    q["classifier_drift_logit"] = lambda s, sf: classifier.classifier_drift_logit(
+        _events_u(s, sf), ("value", "u"), "event_id"
+    )
     q["mmd_perm_vec"] = lambda s, sf: drift.mmd_perm_test_vec(
         _t(s, sf, "embeddings"), n_per_side=128, sigma=1.0, n_permutations=50
     )
@@ -872,7 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4
         "mmd_decisions", "fet_decisions", "lsdd_decisions", "gmm_outlier_4d",
         "pca_outlier_4d", "lm_unigram_score", "doc_repetition",
-        "mmd_drift_vec", "mmd_perm_vec",
+        "mmd_drift_vec", "mmd_perm_vec", "classifier_drift_logit",
         # code changed in round 4 (media_features: driver-hashable embedding
         # projection; knn_ensemble: PValNormalizer column; trend/seasonal +
         # gmm: decimal moments / zero guards)
@@ -1256,6 +1261,156 @@ SELECT CAST(sqrt(nn) AS BIGINT) AS n_ref, CAST(sqrt(mm) AS BIGINT) AS n_test,
        round(kxx/(sqrt(nn)*(sqrt(nn)-1)) + kyy/(sqrt(mm)*(sqrt(mm)-1)) - 2*kxy/nm, 6) + 0.0 AS mmd2
 FROM agg
 """
+
+    # classifier_drift_logit: quantized 2-step IRLS logistic head — the CTE
+    # chain mirrors operators/classifier.classifier_drift_logit assignment
+    # for assignment (same literals, same association; _solve3_sym template)
+    def _sql_solve3(p, a, c):
+        """Sequential solve-3x3 column layers for prefix ``p`` given dicts of
+        a/c SQL expressions — textual twin of classifier._solve3_sym."""
+        l1 = ", ".join(f"{a[k]} AS {p}_a{k}" for k in ("00", "01", "02", "11", "12", "22")) \
+            + ", " + ", ".join(f"{c[k]} AS {p}_c{k}" for k in ("0", "1", "2"))
+        l2 = (
+            f"{p}_a11*{p}_a22 - {p}_a12*{p}_a12 AS {p}_m00, "
+            f"{p}_a02*{p}_a12 - {p}_a01*{p}_a22 AS {p}_m01, "
+            f"{p}_a01*{p}_a12 - {p}_a02*{p}_a11 AS {p}_m02, "
+            f"{p}_a00*{p}_a22 - {p}_a02*{p}_a02 AS {p}_m11, "
+            f"{p}_a02*{p}_a01 - {p}_a00*{p}_a12 AS {p}_m12, "
+            f"{p}_a00*{p}_a11 - {p}_a01*{p}_a01 AS {p}_m22"
+        )
+        l3 = f"{p}_a00*{p}_m00 + {p}_a01*{p}_m01 + {p}_a02*{p}_m02 AS {p}_det"
+        l4 = (
+            f"({p}_m00*{p}_c0 + {p}_m01*{p}_c1 + {p}_m02*{p}_c2)/{p}_det AS {p}_b0, "
+            f"({p}_m01*{p}_c0 + {p}_m11*{p}_c1 + {p}_m12*{p}_c2)/{p}_det AS {p}_b1, "
+            f"({p}_m02*{p}_c0 + {p}_m12*{p}_c1 + {p}_m22*{p}_c2)/{p}_det AS {p}_b2"
+        )
+        return [l1, l2, l3, l4]
+
+    def _logit_oracle():
+        lab0 = (
+            "lab0 AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s, "
+            "CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,4)) AS BIGINT) % 2 AS INTEGER) AS fold, "
+            "CAST(round(CAST(value AS DOUBLE)/100.0*10000.0) AS BIGINT) AS vq, "
+            "CAST(round(CAST(user_id % 100 AS DOUBLE)/100.0*10000.0) AS BIGINT) AS uq, "
+            "CASE WHEN event_id % 2 = 0 THEN -1 ELSE 1 END AS t FROM events)"
+        )
+        m1 = (
+            "m1 AS (SELECT fold, CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(vq) AS DOUBLE) AS sv, CAST(sum(uq) AS DOUBLE) AS su, "
+            "CAST(sum(vq*vq) AS DOUBLE) AS svv, CAST(sum(vq*uq) AS DOUBLE) AS svu, "
+            "CAST(sum(uq*uq) AS DOUBLE) AS suu, CAST(sum(t) AS DOUBLE) AS st, "
+            "CAST(sum(t*vq) AS DOUBLE) AS stv, CAST(sum(t*uq) AS DOUBLE) AS stu "
+            "FROM lab0 GROUP BY 1)"
+        )
+        cols1 = ["n", "sv", "su", "svv", "svu", "suu", "st", "stv", "stu"]
+        w1 = "w1 AS (SELECT " + ", ".join(
+            f"max(CASE WHEN fold = {g} THEN {c} END) AS {c}_{g}"
+            for g in (0, 1) for c in cols1
+        ) + " FROM m1)"
+        ctes = [lab0, m1, w1]
+        # beta1 for model f trains on fold 1-f
+        prev = "w1"
+        for f in (0, 1):
+            g = 1 - f
+            a = {
+                "00": f"0.25*n_{g} + 0.1",
+                "01": f"0.25*(sv_{g}/10000.0)",
+                "02": f"0.25*(su_{g}/10000.0)",
+                "11": f"0.25*(svv_{g}/100000000.0) + 0.1",
+                "12": f"0.25*(svu_{g}/100000000.0)",
+                "22": f"0.25*(suu_{g}/100000000.0) + 0.1",
+            }
+            c = {
+                "0": f"0.5*st_{g}",
+                "1": f"0.5*(stv_{g}/10000.0)",
+                "2": f"0.5*(stu_{g}/10000.0)",
+            }
+            for i, layer in enumerate(_sql_solve3(f"i1f{f}", a, c)):
+                name = f"s1{f}{i}"
+                ctes.append(f"{name} AS (SELECT *, {layer} FROM {prev})")
+                prev = name
+        eta1 = (
+            "CASE WHEN fold = 0 "
+            "THEN i1f1_b0 + i1f1_b1*(vq/10000.0) + i1f1_b2*(uq/10000.0) "
+            "ELSE i1f0_b0 + i1f0_b1*(vq/10000.0) + i1f0_b2*(uq/10000.0) END"
+        )
+        ctes.append(
+            "r2 AS (SELECT fold, vq, uq, t, "
+            f"1.0/(1.0 + exp(-({eta1}))) AS p, {eta1} AS eta "
+            f"FROM lab0 CROSS JOIN {prev})"
+        )
+        ctes.append(
+            "r2q AS (SELECT fold, vq, uq, t, "
+            "CAST(round(p*(1.0 - p)*1000000000.0) AS BIGINT) AS wq, "
+            "CAST(round((p*(1.0 - p)*eta + (CAST(t + 1 AS DOUBLE)/2.0 - p))*1000000000.0) AS BIGINT) AS rzq "
+            "FROM r2)"
+        )
+        ctes.append(
+            "m2 AS (SELECT fold, CAST(sum(wq) AS DOUBLE) AS sw, "
+            "CAST(sum(wq*vq) AS DOUBLE) AS swv, CAST(sum(wq*uq) AS DOUBLE) AS swu, "
+            "CAST(sum(wq*vq*vq) AS DOUBLE) AS swvv, CAST(sum(wq*vq*uq) AS DOUBLE) AS swvu, "
+            "CAST(sum(wq*uq*uq) AS DOUBLE) AS swuu, CAST(sum(rzq) AS DOUBLE) AS sz, "
+            "CAST(sum(rzq*vq) AS DOUBLE) AS szv, CAST(sum(rzq*uq) AS DOUBLE) AS szu "
+            "FROM r2q GROUP BY 1)"
+        )
+        cols2 = ["sw", "swv", "swu", "swvv", "swvu", "swuu", "sz", "szv", "szu"]
+        ctes.append("w2 AS (SELECT " + ", ".join(
+            f"max(CASE WHEN fold = {g} THEN {c} END) AS {c}_{g}"
+            for g in (0, 1) for c in cols2
+        ) + " FROM m2)")
+        prev = "w2"
+        for f in (0, 1):
+            g = 1 - f
+            a = {
+                "00": f"sw_{g}/1000000000.0 + 0.1",
+                "01": f"swv_{g}/10000000000000.0",
+                "02": f"swu_{g}/10000000000000.0",
+                "11": f"swvv_{g}/100000000000000000.0 + 0.1",
+                "12": f"swvu_{g}/100000000000000000.0",
+                "22": f"swuu_{g}/100000000000000000.0 + 0.1",
+            }
+            c = {
+                "0": f"sz_{g}/1000000000.0",
+                "1": f"szv_{g}/10000000000000.0",
+                "2": f"szu_{g}/10000000000000.0",
+            }
+            for i, layer in enumerate(_sql_solve3(f"i2f{f}", a, c)):
+                name = f"s2{f}{i}"
+                ctes.append(f"{name} AS (SELECT *, {layer} FROM {prev})")
+                prev = name
+        # out-of-fold: row fold g scored by model g
+        eta2 = (
+            "CASE WHEN fold = 0 "
+            "THEN i2f0_b0 + i2f0_b1*(vq/10000.0) + i2f0_b2*(uq/10000.0) "
+            "ELSE i2f1_b0 + i2f1_b1*(vq/10000.0) + i2f1_b2*(uq/10000.0) END"
+        )
+        ctes.append(
+            "probs AS (SELECT CASE WHEN t < 0 THEN 'ref' ELSE 'test' END AS s, "
+            f"round(1.0/(1.0 + exp(-({eta2}))), 9) AS p "
+            f"FROM lab0 CROSS JOIN {prev})"
+        )
+        ks = """
+SELECT 'clf_prob' AS feature, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_test AS BIGINT) AS n_test,
+       round(d_raw, 9) AS ks_stat,
+       round(CASE WHEN tt <= 0 THEN 1.0 ELSE
+         least(greatest(list_sum(list_transform(generate_series(1, 100),
+           k -> 2.0 * pow(-1.0, k-1) * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * tt * tt))), 0.0), 1.0)
+       END, 9) AS p_value
+FROM (SELECT n_ref, n_test, d_raw, sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS tt
+      FROM (SELECT n_ref, n_test, max(abs(cum_ref/n_ref - cum_test/n_test)) AS d_raw
+            FROM (SELECT sum(c_ref)  OVER (ORDER BY pv ROWS UNBOUNDED PRECEDING) AS cum_ref,
+                         sum(c_test) OVER (ORDER BY pv ROWS UNBOUNDED PRECEDING) AS cum_test,
+                         sum(c_ref)  OVER () AS n_ref,
+                         sum(c_test) OVER () AS n_test
+                  FROM (SELECT p AS pv,
+                               sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+                               sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS c_test
+                        FROM probs GROUP BY 1))
+            GROUP BY 1, 2))
+"""
+        return "WITH " + ",\n".join(ctes) + ks
+
+    o["classifier_drift_logit"] = _logit_oracle()
 
     o["mmd_drift_vec"] = """
 WITH lab AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,

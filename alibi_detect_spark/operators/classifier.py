@@ -117,6 +117,165 @@ def classifier_drift_nb(
     return ks_2samp(probs, "feature", "value", sample)
 
 
+def _solve3_sym(a00, a01, a02, a11, a12, a22, c0, c1, c2):
+    """Closed-form solve of a symmetric 3x3 system via the adjugate — the
+    SAME textual expression chain the SQL twin evaluates (term-for-term
+    association), so driver-side Python floats equal the oracle's doubles."""
+    m00 = a11 * a22 - a12 * a12
+    m01 = a02 * a12 - a01 * a22
+    m02 = a01 * a12 - a02 * a11
+    m11 = a00 * a22 - a02 * a02
+    m12 = a02 * a01 - a00 * a12
+    m22 = a00 * a11 - a01 * a01
+    det = a00 * m00 + a01 * m01 + a02 * m02
+    b0 = (m00 * c0 + m01 * c1 + m02 * c2) / det
+    b1 = (m01 * c0 + m11 * c1 + m12 * c2) / det
+    b2 = (m02 * c0 + m12 * c1 + m22 * c2) / det
+    return b0, b1, b2
+
+
+def classifier_drift_logit(
+    df: DataFrame,
+    num_cols: tuple[str, str],
+    id_col: str,
+    sample: str = "sample",
+    lam: float = 0.1,
+    scale: float = 100.0,
+) -> DataFrame:
+    """ClassifierDrift with a LOGISTIC head in closed, oracle-checkable form
+    (``alibi_detect/cd/classifier.py:22-217`` semantics: fit a classifier to
+    distinguish ref from test, KS-test the out-of-fold P(test|x)). The
+    pyspark.ml L-BFGS variant (:func:`classifier_drift_lr`) is the
+    reference-faithful iterative fit and stays rows-only; THIS operator
+    replaces the optimizer with TWO FIXED IRLS STEPS — each step is a
+    weighted ridge solve whose working weights are QUANTIZED to integers, so
+    every moment is an exact DECIMAL sum and both engines derive
+    bit-identical coefficients (the quantized-EM recipe applied to logistic
+    regression; IRLS *is* Newton's method for the logistic loss, so two
+    steps from beta = 0 are a well-defined deterministic classifier spec).
+
+    Spec constants: md5 2-fold split (train = the OTHER fold, score
+    out-of-fold), features scaled by ``scale`` then quantized at 1e-4,
+    ridge ``lam`` on the full diagonal, working weights/responses quantized
+    at 1e-9. Step 1 from beta=0 has constant weights w=1/4 and exact
+    response z=4y-2, so its moments are plain exact sums; step 2's per-row
+    weights come from step 1's per-fold coefficients.
+
+    Plan: two scans with tiny per-fold moment aggregates (driver solves the
+    3x3 systems), one scoring scan feeding the relational KS — no Python
+    stages, no joins wider than a broadcast."""
+    v_col, u_col = num_cols
+    xq, wqk = 10000.0, 1e9
+    lab = df.select(
+        F.col(sample).alias("s"),
+        _hash_fold(id_col, 2),
+        F.round(F.col(v_col).cast("double") / scale * xq).cast("long").alias("vq"),
+        F.round(F.col(u_col).cast("double") / scale * xq).cast("long").alias("uq"),
+        F.when(F.col(sample) == "ref", F.lit(-1)).otherwise(F.lit(1)).cast("long").alias("t"),
+    )
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+
+    m1 = (
+        lab.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            big(F.col("vq")).alias("sv"),
+            big(F.col("uq")).alias("su"),
+            big(F.col("vq") * F.col("vq")).alias("svv"),
+            big(F.col("vq") * F.col("uq")).alias("svu"),
+            big(F.col("uq") * F.col("uq")).alias("suu"),
+            big(F.col("t")).alias("st"),
+            big(F.col("t") * F.col("vq")).alias("stv"),
+            big(F.col("t") * F.col("uq")).alias("stu"),
+        )
+        .collect()
+    )
+    g1 = {int(r["fold"]): r for r in m1}
+    if set(g1) != {0, 1}:
+        raise ValueError("md5 2-fold split produced an empty fold")
+
+    def beta1(model_f: int):
+        r = g1[1 - model_f]  # train on the OTHER fold
+        a00 = 0.25 * r["n"] + lam
+        a01 = 0.25 * (r["sv"] / 1e4)
+        a02 = 0.25 * (r["su"] / 1e4)
+        a11 = 0.25 * (r["svv"] / 1e8) + lam
+        a12 = 0.25 * (r["svu"] / 1e8)
+        a22 = 0.25 * (r["suu"] / 1e8) + lam
+        c0 = 0.5 * r["st"]
+        c1 = 0.5 * (r["stv"] / 1e4)
+        c2 = 0.5 * (r["stu"] / 1e4)
+        return _solve3_sym(a00, a01, a02, a11, a12, a22, c0, c1, c2)
+
+    b1f = {f: beta1(f) for f in (0, 1)}
+
+    # step-2 per-row working terms under the model the row TRAINS (= the
+    # model of the opposite fold index)
+    def eta_of(bmap):
+        return F.when(
+            F.col("fold") == 0,
+            F.lit(bmap[1][0]) + F.lit(bmap[1][1]) * (F.col("vq") / F.lit(xq))
+            + F.lit(bmap[1][2]) * (F.col("uq") / F.lit(xq)),
+        ).otherwise(
+            F.lit(bmap[0][0]) + F.lit(bmap[0][1]) * (F.col("vq") / F.lit(xq))
+            + F.lit(bmap[0][2]) * (F.col("uq") / F.lit(xq)),
+        )
+
+    eta = eta_of(b1f)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    wcol = p * (F.lit(1.0) - p)
+    y = (F.col("t") + F.lit(1)) / F.lit(2)
+    it2 = lab.select(
+        "fold", "vq", "uq", "t",
+        F.round(wcol * F.lit(wqk)).cast("long").alias("wq"),
+        F.round((wcol * eta + (y.cast("double") - p)) * F.lit(wqk)).cast("long").alias("rzq"),
+    )
+    m2 = (
+        it2.groupBy("fold")
+        .agg(
+            big(F.col("wq")).alias("sw"),
+            big(F.col("wq") * F.col("vq")).alias("swv"),
+            big(F.col("wq") * F.col("uq")).alias("swu"),
+            big((F.col("wq") * F.col("vq")) * F.col("vq")).alias("swvv"),
+            big((F.col("wq") * F.col("vq")) * F.col("uq")).alias("swvu"),
+            big((F.col("wq") * F.col("uq")) * F.col("uq")).alias("swuu"),
+            big(F.col("rzq")).alias("sz"),
+            big(F.col("rzq") * F.col("vq")).alias("szv"),
+            big(F.col("rzq") * F.col("uq")).alias("szu"),
+        )
+        .collect()
+    )
+    g2 = {int(r["fold"]): r for r in m2}
+
+    def beta2(model_f: int):
+        r = g2[1 - model_f]
+        a00 = r["sw"] / 1e9 + lam
+        a01 = r["swv"] / 1e13
+        a02 = r["swu"] / 1e13
+        a11 = r["swvv"] / 1e17 + lam
+        a12 = r["swvu"] / 1e17
+        a22 = r["swuu"] / 1e17 + lam
+        c0 = r["sz"] / 1e9
+        c1 = r["szv"] / 1e13
+        c2 = r["szu"] / 1e13
+        return _solve3_sym(a00, a01, a02, a11, a12, a22, c0, c1, c2)
+
+    b2f = {f: beta2(f) for f in (0, 1)}
+
+    # out-of-fold score: each row is scored by ITS OWN fold's model (which
+    # never saw it); eta_of maps fold g -> bmap[1-g], so pass a swapped map
+    eta_oof = eta_of({0: b2f[1], 1: b2f[0]})
+    p_oof = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta_oof))
+    probs = lab.select(
+        F.lit("clf_prob").alias("feature"),
+        F.round(p_oof, 9).alias("value"),
+        F.when(F.col("t") < 0, F.lit("ref")).otherwise(F.lit("test")).alias(sample),
+    )
+    from .drift import ks_2samp
+
+    return ks_2samp(probs, "feature", "value", sample)
+
+
 def spot_the_diff_drift(
     df: DataFrame,
     value: str,

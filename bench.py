@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "regressor_uncertainty_drift",
     "classifier_drift",
     "classifier_drift_lr",
+    "classifier_drift_logit",
     "context_mmd_drift",
     "context_mmd_hash",
     "drift_fdr",

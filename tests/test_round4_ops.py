@@ -228,3 +228,29 @@ def test_mmd_vec_detects_embedding_shift(spark):
     r1 = drift.mmd_perm_test_vec(h1, n_per_side=64, sigma=2.0, n_permutations=30).collect()[0]
     assert r1["mmd2"] > r0["mmd2"]
     assert r1["p_value"] == 0.0 and r0["p_value"] > 0.1
+
+
+def test_classifier_drift_logit_detects_shift(spark):
+    """Quantized-IRLS logistic ClassifierDrift: no-shift data gives a large
+    p-value; a mean-shifted test sample drives p to ~0."""
+    import pandas as pd
+
+    from alibi_detect_spark.operators import classifier
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    v = rng.normal(50.0, 10.0, n)
+    u = rng.normal(40.0, 8.0, n)
+    s = np.where(ids % 2 == 0, "ref", "test")
+    h0 = spark.createDataFrame(
+        pd.DataFrame({"event_id": ids, "sample": s, "value": v, "u": u})
+    )
+    r0 = classifier.classifier_drift_logit(h0, ("value", "u"), "event_id").collect()[0]
+    v1 = v + np.where(s == "test", 12.0, 0.0)
+    h1 = spark.createDataFrame(
+        pd.DataFrame({"event_id": ids, "sample": s, "value": v1, "u": u})
+    )
+    r1 = classifier.classifier_drift_logit(h1, ("value", "u"), "event_id").collect()[0]
+    assert r0["p_value"] > 0.05
+    assert r1["p_value"] < 1e-6 and r1["ks_stat"] > r0["ks_stat"]
