@@ -833,6 +833,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # oracle-green logistic head (quantized 2-step IRLS; the pyspark.ml
     # L-BFGS variant stays reference-faithful and rows-only)
+    # rank-1 PCA at the REAL embedding width (d=64) — Arrow partial-sum
+    # moments + driver power iteration + sequential-fold scoring
+    q["pca_outlier_emb"] = lambda s, sf: outlier.pca_outlier_emb(
+        _t(s, sf, "embeddings")
+    )
     q["classifier_drift_logit"] = lambda s, sf: classifier.classifier_drift_logit(
         _events_u(s, sf), ("value", "u"), "event_id"
     )
@@ -878,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmd_decisions", "fet_decisions", "lsdd_decisions", "gmm_outlier_4d",
         "pca_outlier_4d", "lm_unigram_score", "doc_repetition",
         "mmd_drift_vec", "mmd_perm_vec", "classifier_drift_logit",
+        "pca_outlier_emb",
         # code changed in round 4 (media_features: driver-hashable embedding
         # projection; knn_ensemble: PValNormalizer column; trend/seasonal +
         # gmm: decimal moments / zero guards)
@@ -2436,6 +2442,53 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
         )
 
     o["pca_outlier_4d"] = _pcad_oracle(_GMM4_BASE, ["a", "b", "c", "d"])
+
+    # PCA at the full embedding width (d=64): exact quantized moments from a
+    # posexplode pair join (value-identical to the operator's Arrow partial
+    # sums — integer sums are order-free), list-based power iteration with
+    # the same sequential fold orders, list_reduce scoring ≡ F.aggregate
+    o["pca_outlier_emb"] = """
+WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+ex AS (SELECT vec_id, j,
+              CAST(round(CAST(v[CAST(j AS INTEGER) + 1] AS DOUBLE)*1000000) AS BIGINT) AS xq
+       FROM base, generate_series(0, 63) AS t(j)),
+cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+m1 AS (SELECT j, CAST(sum(xq) AS DOUBLE) AS s FROM ex GROUP BY 1),
+m2 AS (SELECT a.j AS j, b.j AS k, CAST(sum(a.xq*b.xq) AS DOUBLE) AS s
+       FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.j >= a.j GROUP BY 1, 2),
+mu AS (SELECT list(s / (n*1000000.0) ORDER BY j) AS mu FROM m1 CROSS JOIN cnt),
+cfull AS (SELECT j, k, s FROM m2 UNION ALL SELECT k AS j, j AS k, s FROM m2 WHERE j <> k),
+crow AS (SELECT cfull.j AS j,
+                list(s/(n*1000000.0*1000000.0) - mu[cfull.j + 1]*mu[k + 1] ORDER BY k) AS row
+         FROM cfull CROSS JOIN mu CROSS JOIN cnt GROUP BY 1),
+cm AS (SELECT list(row ORDER BY j) AS c FROM crow),
+p0 AS (SELECT c, mu,
+              list_concat([1.0], list_transform(generate_series(1, 63), x -> 0.0)) AS v
+       FROM cm CROSS JOIN mu),
+{ITER}
+sc AS (SELECT vec_id,
+  list_reduce(list_transform(generate_series(1, 64),
+      i -> (CAST(v[i] AS DOUBLE) - mu[i])*(CAST(v[i] AS DOUBLE) - mu[i])), (a, b) -> a + b) AS tot,
+  list_reduce(list_transform(generate_series(1, 64),
+      i -> (CAST(v[i] AS DOUBLE) - mu[i])*vv[i]), (a, b) -> a + b) AS proj
+  FROM base CROSS JOIN (SELECT mu, v AS vv FROM p8))
+SELECT vec_id, round(tot - proj*proj, 6) + 0.0 AS pca_resid FROM sc
+"""
+    _pe_iters = []
+    for _t in range(1, 9):
+        _pe_iters.append(
+            f"w{_t} AS (SELECT c, mu, list_transform(generate_series(1, 64), "
+            f"j -> list_reduce(list_transform(generate_series(1, 64), "
+            f"k -> c[j][k]*v[k]), (a, b) -> a + b)) AS w FROM p{_t - 1})"
+        )
+        _pe_iters.append(
+            f"p{_t} AS (SELECT c, mu, list_transform(w, "
+            f"x -> x / sqrt(list_reduce(list_transform(w, y -> y*y), (a, b) -> a + b))) AS v "
+            f"FROM w{_t})"
+        )
+    o["pca_outlier_emb"] = o["pca_outlier_emb"].replace("{ITER}", ",\n".join(_pe_iters) + ",")
+
+
 
     # AEGMM / VAEGMM feature-map CTEs (mirror outlier.aegmm_features) feeding
     # the same unrolled-EM chain

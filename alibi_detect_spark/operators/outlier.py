@@ -398,6 +398,100 @@ def pca_outlier_dfeat(
     )
 
 
+def pca_outlier_emb(
+    emb,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 8,
+    quant: int = 1_000_000,
+):
+    """:func:`pca_outlier_dfeat` at the reference's REAL embedding width —
+    rank-1 principal direction over a d-dim ``array<float>`` column via the
+    fixed-iteration power method, fully oracle-checkable at d = 64.
+
+    Moments come from ONE Arrow pass emitting per-batch partial integer
+    sums of the quantized components (``Σ xq_j``, ``Σ xq_j·xq_k`` — a
+    d(d+1)/2-row relation per batch, int64-safe per batch, exact DECIMAL
+    total): the 100 TB shape, constant driver state, no d²-per-row blow-up.
+    The SQL twin derives the SAME integers from a posexplode pair join —
+    value-identical because integer sums are order-free. The power
+    iteration is driver-side scalar math with sequential left-fold
+    associations; scoring uses ``F.aggregate`` (a sequential fold, exactly
+    DuckDB's ``list_reduce`` order) so the per-row reductions are
+    bit-identical too."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    d = dim
+
+    def moments_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * float(quant)
+            xq = np.where(x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)).astype(np.int64)
+            s1 = xq.sum(axis=0)
+            s2 = xq.T @ xq  # [d, d] int64 — safe per Arrow batch
+            rows = {"j": [], "k": [], "v": []}
+            rows["j"].append(-1); rows["k"].append(-1); rows["v"].append(len(xq))
+            for j in range(d):
+                rows["j"].append(j); rows["k"].append(-1); rows["v"].append(int(s1[j]))
+                for k in range(j, d):
+                    rows["j"].append(j); rows["k"].append(k); rows["v"].append(int(s2[j, k]))
+            yield pd.DataFrame(rows)
+
+    mom = (
+        emb.select(vec_col)
+        .mapInPandas(moments_fn, schema="j int, k int, v long")
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).cast("double").alias("s"))
+        .collect()
+    )
+    s = {(int(r["j"]), int(r["k"])): r["s"] for r in mom}
+    n = s[(-1, -1)]
+    q = float(quant)
+    mu = [s[(j, -1)] / (n * q) for j in range(d)]
+    cmat = [[0.0] * d for _ in range(d)]
+    for j in range(d):
+        for k in range(j, d):
+            cjk = s[(j, k)] / (n * q * q) - mu[j] * mu[k]
+            cmat[j][k] = cmat[k][j] = cjk
+
+    import math
+
+    v = [1.0] + [0.0] * (d - 1)
+    for _ in range(n_iter):
+        w = []
+        for j in range(d):
+            acc = cmat[j][0] * v[0]
+            for k in range(1, d):
+                acc = acc + cmat[j][k] * v[k]
+            w.append(acc)
+        nrm2 = w[0] * w[0]
+        for k in range(1, d):
+            nrm2 = nrm2 + w[k] * w[k]
+        nrm = math.sqrt(nrm2)
+        v = [wj / nrm for wj in w]
+
+    # per-row reductions as SEQUENTIAL folds (F.aggregate ≡ list_reduce):
+    # tot = Σ (x_j − μ_j)², proj = Σ (x_j − μ_j)·v_j over the raw doubles
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    v_arr = F.array(*[F.lit(x) for x in v])
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = F.zip_with(xd, mu_arr, lambda a, b: a - b)
+    tot = F.aggregate(
+        F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+    )
+    proj = F.aggregate(
+        F.zip_with(c, v_arr, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+    )
+    return emb.select(
+        id_col, (F.round(tot - proj * proj, 6) + F.lit(0.0)).alias("pca_resid")
+    )
+
+
 def vae_outlier_2feat(
     df, cols: tuple[str, str], id_col: str, top_k: int = 100, eps: float = 1e-9
 ):

@@ -254,3 +254,35 @@ def test_classifier_drift_logit_detects_shift(spark):
     r1 = classifier.classifier_drift_logit(h1, ("value", "u"), "event_id").collect()[0]
     assert r0["p_value"] > 0.05
     assert r1["p_value"] < 1e-6 and r1["ks_stat"] > r0["ks_stat"]
+
+
+def test_pca_outlier_emb_matches_numpy_rank1_residual(spark):
+    """d=64 power-method PCA: residuals agree with the NumPy rank-1 PCA
+    residual (eigh ground truth) and an off-subspace spike scores top."""
+    import pandas as pd
+
+    from alibi_detect_spark.operators import outlier
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 64
+    direction = rng.normal(size=d); direction /= np.linalg.norm(direction)
+    base = np.outer(rng.normal(size=n) * 5.0, direction) + rng.normal(size=(n, d)) * 0.3
+    base[0] += np.linalg.qr(np.stack([direction, rng.normal(size=d)]).T)[0][:, 1] * 8.0
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(base.astype(np.float32))})
+    )
+    got = (
+        outlier.pca_outlier_emb(emb)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    x = base.astype(np.float32).astype(np.float64)
+    mu = x.mean(axis=0)
+    xc = x - mu
+    covm = (xc.T @ xc) / len(x)
+    _, vecs = np.linalg.eigh(covm)
+    v1 = vecs[:, -1]
+    resid = (xc**2).sum(axis=1) - (xc @ v1) ** 2
+    np.testing.assert_allclose(got["pca_resid"].to_numpy(), resid, rtol=1e-3, atol=1e-3)
+    assert got["pca_resid"].idxmax() == 0  # the off-subspace spike
