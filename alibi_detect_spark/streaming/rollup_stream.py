@@ -835,3 +835,37 @@ def sr_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "event_ts",
+    watermark_delay: str = "10 minutes",
+    prefix_words: int | None = None,
+) -> DataFrame:
+    """Streaming EXACT dedup at ingestion time — the streaming twin of
+    :func:`..operators.dedup.exact_dup_groups`'s survivor semantics: the
+    FIRST arrival of each content hash passes through, later duplicates are
+    dropped. Built on Structured Streaming's native
+    ``dropDuplicatesWithinWatermark``: the dedup state is keyed by the
+    md5 content hash (computed map-side — the text never shuffles for the
+    key) and EXPIRES past the watermark, so state is bounded by the
+    duplicate-arrival horizon instead of the stream's full history — the
+    only shape that survives an unbounded 100 TB ingest feed. Duplicates
+    farther apart than ``watermark_delay`` are deliberately NOT caught here;
+    the batch operator over the landed table is the exhaustive pass (the
+    standard two-tier dedup architecture)."""
+    from pyspark.sql import functions as F
+
+    if prefix_words is None:
+        key = F.md5(F.col(text_col))
+    else:
+        key = F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.col(text_col), " "), 1, prefix_words))
+        )
+    return (
+        docs.withColumn("content_hash", key)
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

@@ -286,3 +286,43 @@ def test_pca_outlier_emb_matches_numpy_rank1_residual(spark):
     resid = (xc**2).sum(axis=1) - (xc @ v1) ** 2
     np.testing.assert_allclose(got["pca_resid"].to_numpy(), resid, rtol=1e-3, atol=1e-3)
     assert got["pca_resid"].idxmax() == 0  # the off-subspace spike
+
+
+def test_dedup_stream_first_arrival_survives(spark, tmp_path):
+    """Streaming exact dedup: across micro-batches, exactly the first arrival
+    of each content hash is emitted; uniques all pass."""
+    import os
+
+    import pandas as pd
+
+    from alibi_detect_spark.streaming.rollup_stream import dedup_stream
+
+    tmp = str(tmp_path)
+    base_ts = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for i in range(40):
+        text = f"doc number {i % 25}"  # ids 0..14 duplicated across batches
+        rows.append((i, text, base_ts + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "event_ts"])
+    os.makedirs(f"{tmp}/ddin", exist_ok=True)
+    pdf.iloc[:20].to_parquet(f"{tmp}/ddin/p0.parquet", index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    pdf.iloc[20:].to_parquet(f"{tmp}/ddin/p1.parquet", index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    src = (
+        spark.readStream.schema("doc_id long, text string, event_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/ddin")
+    )
+    q = (
+        dedup_stream(src, watermark_delay="1 hour")
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/ddout")
+        .option("checkpointLocation", f"{tmp}/ddckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{tmp}/ddout").toPandas()
+    assert len(got) == 25  # one survivor per distinct text
+    # the survivor of each hash is its FIRST arrival (doc_id == i%25 index)
+    assert sorted(got["doc_id"]) == sorted(range(25))
