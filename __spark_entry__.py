@@ -838,6 +838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pca_outlier_emb"] = lambda s, sf: outlier.pca_outlier_emb(
         _t(s, sf, "embeddings")
     )
+    # quantized-EM GMM at the same width
+    q["gmm_outlier_emb"] = lambda s, sf: outlier.gmm_outlier_emb(
+        _t(s, sf, "embeddings")
+    )
     q["classifier_drift_logit"] = lambda s, sf: classifier.classifier_drift_logit(
         _events_u(s, sf), ("value", "u"), "event_id"
     )
@@ -883,12 +887,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmd_decisions", "fet_decisions", "lsdd_decisions", "gmm_outlier_4d",
         "pca_outlier_4d", "lm_unigram_score", "doc_repetition",
         "mmd_drift_vec", "mmd_perm_vec", "classifier_drift_logit",
-        "pca_outlier_emb",
-        # code changed in round 4 (media_features: driver-hashable embedding
-        # projection; knn_ensemble: PValNormalizer column; trend/seasonal +
-        # gmm: decimal moments / zero guards)
-        "media_features", "knn_ensemble", "trend_bands", "seasonal_bands",
-        "gmm_outlier_2c",
+        "pca_outlier_emb", "gmm_outlier_emb",
+        # code changed in round 4 with OUTPUT changes (media_features:
+        # driver-hashable embedding projection; knn_ensemble: PValNormalizer
+        # column) — trend/seasonal/gmm_2c changed only in arithmetic
+        # exactness, re-verified locally at both SFs, and sit after the
+        # no-r3-row block so the 50-entry window covers every unproven claim
+        "media_features", "knn_ensemble",
         # NEVER driver-recorded in any round (rows-only siblings)
         "ae_outlier", "ssa_outlier",
         # no CORRECTNESS_r03 row (r1/r2 evidence only) — rotate them in so
@@ -903,6 +908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_events", "sr_saliency", "tabular_drift", "token_invariant",
         "token_rollup_1h", "token_rollup_1h_salted", "token_rollup_source",
         "uncertainty_drift", "uncertainty_margin_drift",
+        # exactness-only changes (hash-green r3 rows + fresh local checks)
+        "trend_bands", "seasonal_bands", "gmm_outlier_2c",
         # rows-only with an r3 row already — keep near the window edge
         "lsdd_perm_test", "lsdd_online", "mahalanobis_online",
         "context_mmd_drift", "iforest_outlier", "svm_outlier", "gmm_outlier",
@@ -2442,6 +2449,67 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
         )
 
     o["pca_outlier_4d"] = _pcad_oracle(_GMM4_BASE, ["a", "b", "c", "d"])
+
+    # GMM at the full embedding width (d=64): list-based twin of
+    # outlier.gmm_outlier_emb — sequential index folds for the log-densities,
+    # per-dim exact quantized M-step moments, list-valued parameter CTEs
+    def _gmm_emb_oracle(n_iter: int = 2) -> str:
+        def ldx(m, vv, w):
+            return (
+                "list_reduce(list_transform(generate_series(1, 64), "
+                f"i -> -0.5*ln(2*pi()*{vv}[i]) - (v[i]-{m}[i])*(v[i]-{m}[i])/(2*{vv}[i])), "
+                f"(a, b) -> a + b) + ln({w})"
+            )
+
+        ctes = [
+            "base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+            "ex AS (SELECT id, j, CAST(round(v[CAST(j AS INTEGER) + 1]*1000000) AS BIGINT) AS xq "
+            "FROM base, generate_series(0, 63) AS t(j))",
+            "gl AS (SELECT j, CAST(count(*) AS DOUBLE) AS n, CAST(sum(xq) AS DOUBLE) AS s, "
+            "CAST(sum(xq*xq) AS DOUBLE) AS ss FROM ex GROUP BY 1)",
+            "pv AS (SELECT list(ss/(n*1000000.0*1000000.0) - (s/(n*1000000.0))*(s/(n*1000000.0)) + 1e-9 "
+            "ORDER BY j) AS var0 FROM gl)",
+            "p0r AS (SELECT v AS im0 FROM base ORDER BY v[1], id LIMIT 1)",
+            "p1r AS (SELECT v AS im1 FROM base ORDER BY v[1] DESC, id DESC LIMIT 1)",
+            "par0 AS (SELECT im0 AS m0, im1 AS m1, var0 AS v0, var0 AS v1, 0.5 AS w0, 0.5 AS w1 "
+            "FROM p0r CROSS JOIN p1r CROSS JOIN pv)",
+        ]
+        for t in range(1, n_iter + 1):
+            ctes.append(
+                f"e{t} AS (SELECT id, {ldx('m0', 'v0', 'w0')} AS ld0, "
+                f"{ldx('m1', 'v1', 'w1')} AS ld1 FROM base CROSS JOIN par{t - 1})"
+            )
+            ctes.append(
+                f"r{t} AS (SELECT id, CAST(round(1.0/(1.0+exp(ld1-ld0))*1000) AS BIGINT) AS q0 "
+                f"FROM e{t})"
+            )
+            ctes.append(
+                f"s{t} AS (SELECT j, CAST(sum(q0) AS DOUBLE) AS r0j, "
+                "CAST(sum(1000-q0) AS DOUBLE) AS r1j, "
+                "CAST(sum(q0*xq) AS DOUBLE) AS s0, CAST(sum(q0*xq*xq) AS DOUBLE) AS ss0, "
+                "CAST(sum((1000-q0)*xq) AS DOUBLE) AS s1, CAST(sum((1000-q0)*xq*xq) AS DOUBLE) AS ss1 "
+                f"FROM ex JOIN r{t} USING (id) GROUP BY 1)"
+            )
+            ctes.append(
+                f"par{t} AS (SELECT "
+                "list(s0/(r0j*1000000.0) ORDER BY j) AS m0, "
+                "list(ss0/(r0j*1000000.0*1000000.0) - (s0/(r0j*1000000.0))*(s0/(r0j*1000000.0)) + 1e-9 ORDER BY j) AS v0, "
+                "list(s1/(r1j*1000000.0) ORDER BY j) AS m1, "
+                "list(ss1/(r1j*1000000.0*1000000.0) - (s1/(r1j*1000000.0))*(s1/(r1j*1000000.0)) + 1e-9 ORDER BY j) AS v1, "
+                "max(r0j)/(max(r0j)+max(r1j)) AS w0, max(r1j)/(max(r0j)+max(r1j)) AS w1 "
+                f"FROM s{t})"
+            )
+        ctes.append(
+            f"efin AS (SELECT id, {ldx('m0', 'v0', 'w0')} AS ld0, "
+            f"{ldx('m1', 'v1', 'w1')} AS ld1 FROM base CROSS JOIN par{n_iter})"
+        )
+        ctes.append("sc AS (SELECT id, ld0, ld1, greatest(ld0, ld1) AS mx FROM efin)")
+        return (
+            "WITH " + ",\n".join(ctes) + "\n"
+            "SELECT id AS vec_id, round(-(mx + ln(exp(ld0-mx)+exp(ld1-mx))), 6) + 0.0 AS gmm_nll FROM sc"
+        )
+
+    o["gmm_outlier_emb"] = _gmm_emb_oracle()
 
     # PCA at the full embedding width (d=64): exact quantized moments from a
     # posexplode pair join (value-identical to the operator's Arrow partial

@@ -492,6 +492,135 @@ def pca_outlier_emb(
     )
 
 
+def gmm_outlier_emb(
+    emb,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 2,
+    quant_x: int = 1_000_000,
+    quant_r: int = 1000,
+    eps: float = 1e-9,
+):
+    """:func:`gmm_outlier_dfeat` at the reference's REAL embedding width —
+    2-component diagonal quantized-EM GMM over a d-dim ``array<float>``
+    column, fully oracle-checkable at d = 64 (the seeded-EM variant over the
+    same table is :func:`gmm_outlier_scores`, rows-only).
+
+    Same exactness scheme as the feature-tuple twin: responsibilities are
+    rounded to ``quant_r`` integers, every M-step moment is an exact DECIMAL
+    sum of quantized components, and the per-row log-densities are
+    SEQUENTIAL index folds (``F.aggregate`` over ``sequence(1, d)`` ≡
+    DuckDB ``list_reduce``), so both engines walk identical IEEE chains.
+    Init: component means at the two extreme rows of the FIRST component
+    (ties by id), shared per-dim population variance, equal weights.
+
+    Per iteration: one posexplode + 64-group aggregate (codegen, map-side
+    partials — no corpus joins); the scoring plan is one scan of fold
+    expressions with the (μ, σ², w) literal arrays in the closure."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    d = dim
+    q = float(quant_x)
+    qr = float(quant_r)
+    base = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    ex = base.select(
+        "__id", F.posexplode("v").alias("j", "x")
+    ).select(
+        "__id", "j", F.round(F.col("x") * quant_x).cast("long").alias("xq")
+    )
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+
+    gl = (
+        ex.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            big(F.col("xq")).alias("s"),
+            big(F.col("xq") * F.col("xq")).alias("ss"),
+        )
+        .collect()
+    )
+    gm = {int(r["j"]): r for r in gl}
+    n = gm[0]["n"]
+    pop_var = [
+        gm[j]["ss"] / (n * q * q) - (gm[j]["s"] / (n * q)) * (gm[j]["s"] / (n * q)) + eps
+        for j in range(d)
+    ]
+    first = F.element_at(F.col("v"), 1)
+    p_lo = base.orderBy(first, "__id").limit(1).collect()[0]
+    p_hi = base.orderBy(first.desc(), F.col("__id").desc()).limit(1).collect()[0]
+    params = [
+        ([float(x) for x in p_lo["v"]], list(pop_var), 0.5),
+        ([float(x) for x in p_hi["v"]], list(pop_var), 0.5),
+    ]
+
+    def ld(p):
+        means, vs, wgt = p
+        m_arr = F.array(*[F.lit(m) for m in means])
+        v_arr = F.array(*[F.lit(x) for x in vs])
+        xe = lambda i: F.element_at(F.col("v"), i)  # noqa: E731
+        me = lambda i: F.element_at(m_arr, i)  # noqa: E731
+        ve = lambda i: F.element_at(v_arr, i)  # noqa: E731
+        fold = F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.lit(-0.5) * F.log(F.lit(2 * math.pi) * ve(i))
+                - (xe(i) - me(i)) * (xe(i) - me(i)) / (F.lit(2.0) * ve(i))
+            ),
+        )
+        return fold + F.lit(math.log(wgt))
+
+    for _ in range(n_iter):
+        q0 = F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(ld(params[1]) - ld(params[0]))) * quant_r
+        ).cast("long")
+        resp = base.select("__id", q0.alias("q0"))
+        e = ex.join(resp, "__id").withColumn("q1", F.lit(quant_r) - F.col("q0"))
+        mom = (
+            e.groupBy("j")
+            .agg(
+                big(F.col("q0")).alias("r0j"),
+                big(F.col("q1")).alias("r1j"),
+                big(F.col("q0") * F.col("xq")).alias("s0"),
+                big((F.col("q0") * F.col("xq")) * F.col("xq")).alias("ss0"),
+                big(F.col("q1") * F.col("xq")).alias("s1"),
+                big((F.col("q1") * F.col("xq")) * F.col("xq")).alias("ss1"),
+            )
+            .collect()
+        )
+        mm = {int(r["j"]): r for r in mom}
+        r0, r1 = mm[0]["r0j"], mm[0]["r1j"]
+        if r0 == 0 or r1 == 0:
+            raise ValueError("GMM EM degenerate: a component's responsibility sum is 0")
+        tot = r0 + r1
+        new = []
+        for k, r in (("0", r0), ("1", r1)):
+            means = [mm[j][f"s{k}"] / (r * q) for j in range(d)]
+            vs = [
+                mm[j][f"ss{k}"] / (r * q * q)
+                - (mm[j][f"s{k}"] / (r * q)) * (mm[j][f"s{k}"] / (r * q))
+                + eps
+                for j in range(d)
+            ]
+            new.append((means, vs, r / tot))
+        params = new
+
+    ld0, ld1 = ld(params[0]), ld(params[1])
+    mx = F.greatest(ld0, ld1)
+    nll = -(mx + F.log(F.exp(ld0 - mx) + F.exp(ld1 - mx)))
+    return base.select(
+        F.col("__id").alias(id_col),
+        (F.round(nll, 6) + F.lit(0.0)).alias("gmm_nll"),
+    )
+
+
 def vae_outlier_2feat(
     df, cols: tuple[str, str], id_col: str, top_k: int = 100, eps: float = 1e-9
 ):

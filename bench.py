@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "gmm_outlier_4d",
     "pca_outlier_4d",
     "pca_outlier_emb",
+    "gmm_outlier_emb",
     "lof_outlier",
     "kpca_outlier",
     "iforest_outlier",
