@@ -842,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gmm_outlier_emb"] = lambda s, sf: outlier.gmm_outlier_emb(
         _t(s, sf, "embeddings")
     )
+    # kernel-mean OCSVM at the same width
+    q["ocsvm_emb"] = lambda s, sf: outlier.ocsvm_emb(_t(s, sf, "embeddings"))
     q["classifier_drift_logit"] = lambda s, sf: classifier.classifier_drift_logit(
         _events_u(s, sf), ("value", "u"), "event_id"
     )
@@ -887,7 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmd_decisions", "fet_decisions", "lsdd_decisions", "gmm_outlier_4d",
         "pca_outlier_4d", "lm_unigram_score", "doc_repetition",
         "mmd_drift_vec", "mmd_perm_vec", "classifier_drift_logit",
-        "pca_outlier_emb", "gmm_outlier_emb",
+        "pca_outlier_emb", "gmm_outlier_emb", "ocsvm_emb",
         # code changed in round 4 with OUTPUT changes (media_features:
         # driver-hashable embedding projection; knn_ensemble: PValNormalizer
         # column) — trend/seasonal/gmm_2c changed only in arithmetic
@@ -2510,6 +2512,32 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
         )
 
     o["gmm_outlier_emb"] = _gmm_emb_oracle()
+
+    # kernel-mean OCSVM at d=64 (mirrors outlier.ocsvm_emb)
+    _oc_d2 = (
+        "list_reduce(list_transform(generate_series(1, 64), "
+        "i -> (v[i]-l{t}[i])*(v[i]-l{t}[i])), (a, b) -> a + b)"
+    )
+    _oc_ks = " + ".join(
+        f"exp(-{_oc_d2.format(t=t)}/(2.0*s2))" for t in range(1, 9)
+    )
+    o["ocsvm_emb"] = f"""
+WITH base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+ex AS (SELECT id, j, CAST(round(v[CAST(j AS INTEGER) + 1]*1000000) AS BIGINT) AS xq
+       FROM base, generate_series(0, 63) AS t(j)),
+gl AS (SELECT j, CAST(count(*) AS DOUBLE) AS n, CAST(sum(xq) AS DOUBLE) AS s,
+              CAST(sum(xq*xq) AS DOUBLE) AS ss FROM ex GROUP BY 1),
+vvs AS (SELECT list(ss/(n*1000000.0*1000000.0) - (s/(n*1000000.0))*(s/(n*1000000.0))
+               ORDER BY j) AS vars FROM gl),
+s2c AS (SELECT list_reduce(vars, (a, b) -> a + b) + 1e-9 AS s2 FROM vvs),
+lnd AS (SELECT rn, v AS lv FROM
+        (SELECT v, row_number() OVER (ORDER BY md5('ocsvm:' || CAST(id AS VARCHAR)), id) AS rn
+         FROM base) WHERE rn <= 8),
+lw AS (SELECT {", ".join(f"max(CASE WHEN rn = {t} THEN lv END) AS l{t}" for t in range(1, 9))} FROM lnd)
+SELECT id AS vec_id,
+       round(0.0 - ({_oc_ks})/8.0, 6) + 0.0 AS ocsvm_score
+FROM base CROSS JOIN lw CROSS JOIN s2c
+"""
 
     # PCA at the full embedding width (d=64): exact quantized moments from a
     # posexplode pair join (value-identical to the operator's Arrow partial

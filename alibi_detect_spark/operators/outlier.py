@@ -621,6 +621,81 @@ def gmm_outlier_emb(
     )
 
 
+def ocsvm_emb(
+    emb,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_landmarks: int = 8,
+    var_eps: float = 1e-9,
+    quant: int = 1_000_000,
+):
+    """:func:`ocsvm_mean_2feat` at the reference's REAL embedding width —
+    the kernel-mean (ν→1) one-class-SVM decision function over a d-dim
+    ``array<float>`` column, fully oracle-checkable at d = 64. Score =
+    ``−(1/m)·Σᵢ k(x, lᵢ)`` with md5-priority landmark rows and bandwidth
+    ``σ² = Σ_d var_d`` from exact quantized moments; the per-landmark
+    squared distances are SEQUENTIAL index folds (``F.aggregate`` ≡ DuckDB
+    ``list_reduce``), the landmark sum an explicit left-associated chain —
+    both engines walk identical IEEE expressions."""
+    import math  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    d = dim
+    q = float(quant)
+    base = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    ex = base.select("__id", F.posexplode("v").alias("j", "x")).select(
+        "j", F.round(F.col("x") * quant).cast("long").alias("xq")
+    )
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    gl = (
+        ex.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            big(F.col("xq")).alias("s"),
+            big(F.col("xq") * F.col("xq")).alias("ss"),
+        )
+        .collect()
+    )
+    gm = {int(r["j"]): r for r in gl}
+    n = gm[0]["n"]
+    s2 = 0.0
+    for j in range(d):
+        s2 = s2 + (
+            gm[j]["ss"] / (n * q * q) - (gm[j]["s"] / (n * q)) * (gm[j]["s"] / (n * q))
+        )
+    s2 = s2 + var_eps
+
+    pr = F.md5(F.concat(F.lit("ocsvm:"), F.col("__id").cast("string")))
+    lrows = (
+        base.withColumn("pr", pr).orderBy("pr", "__id").limit(n_landmarks).collect()
+    )
+    lands = [[float(x) for x in r["v"]] for r in lrows]
+
+    def d2_to(landmark):
+        arr = F.array(*[F.lit(x) for x in landmark])
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(F.col("v"), i) - F.element_at(arr, i))
+            * (F.element_at(F.col("v"), i) - F.element_at(arr, i)),
+        )
+
+    ks = F.exp(-d2_to(lands[0]) / F.lit(2.0 * s2))
+    for landmark in lands[1:]:
+        ks = ks + F.exp(-d2_to(landmark) / F.lit(2.0 * s2))
+    score = F.lit(0.0) - ks / F.lit(float(n_landmarks))
+    return base.select(
+        F.col("__id").alias(id_col),
+        (F.round(score, 6) + F.lit(0.0)).alias("ocsvm_score"),
+    )
+
+
 def vae_outlier_2feat(
     df, cols: tuple[str, str], id_col: str, top_k: int = 100, eps: float = 1e-9
 ):

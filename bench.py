@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "pca_outlier_4d",
     "pca_outlier_emb",
     "gmm_outlier_emb",
+    "ocsvm_emb",
     "lof_outlier",
     "kpca_outlier",
     "iforest_outlier",

@@ -326,3 +326,26 @@ def test_dedup_stream_first_arrival_survives(spark, tmp_path):
     assert len(got) == 25  # one survivor per distinct text
     # the survivor of each hash is its FIRST arrival (doc_id == i%25 index)
     assert sorted(got["doc_id"]) == sorted(range(25))
+
+
+def test_embedding_width_ops_partitioning_invariant(spark):
+    """pca_outlier_emb / gmm_outlier_emb: exact integer moments make the fit
+    (and therefore every score) identical under any partitioning."""
+    import pandas as pd
+
+    from alibi_detect_spark.operators import outlier
+
+    rng = np.random.default_rng(17)
+    n = 400
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(rng.normal(size=(n, 64)).astype(np.float32)),
+            }
+        )
+    )
+    for fn in (outlier.pca_outlier_emb, outlier.gmm_outlier_emb):
+        a = sorted(map(tuple, fn(emb).collect()))
+        b = sorted(map(tuple, fn(emb.repartition(16, "vec_id")).collect()))
+        assert a == b, fn.__name__
