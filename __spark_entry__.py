@@ -907,11 +907,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmd_online", "mmd_perm_test", "online_decisions", "pages_roundtrip",
         "quantile_thresholds", "ref_update_last_n",
         "regressor_uncertainty_drift", "reservoir_sample", "rollup_1d_cascade",
-        "rollup_1h_events", "sr_saliency", "tabular_drift", "token_invariant",
-        "token_rollup_1h", "token_rollup_1h_salted", "token_rollup_source",
+        "rollup_1h_events", "sr_saliency", "tabular_drift",
+        "token_rollup_1h", "token_rollup_source",
         "uncertainty_drift", "uncertainty_margin_drift",
         # exactness-only changes (hash-green r3 rows + fresh local checks)
         "trend_bands", "seasonal_bands", "gmm_outlier_2c",
+        # double driver evidence (green in BOTH r1 and r2, code untouched
+        # since) — the two entries that yield their window slots to the 14
+        # new round-4 queries; their evidence chain is the r1+r2 artifacts
+        "token_rollup_1h_salted", "token_invariant",
         # rows-only with an r3 row already — keep near the window edge
         "lsdd_perm_test", "lsdd_online", "mahalanobis_online",
         "context_mmd_drift", "iforest_outlier", "svm_outlier", "gmm_outlier",
