@@ -458,6 +458,39 @@ def main() -> None:
         f"full distinct-score set. Check: {'OK' if ok else 'FAIL'}\n"
     )
 
+    # 6n. round-4 second half: multivariate MMD pair relation must broadcast
+    #     the exploded dim side (never a shuffle join on the 64 dim keys —
+    #     that would single-task per key), no cartesian anywhere
+    audit(
+        "mmd_drift_vec",
+        qs["mmd_drift_vec"](spark, SF),
+        requires=["BroadcastHashJoin"],
+        forbids=["CartesianProduct", "SortMergeJoin", "MapInPandas"],
+        note="Embedding MMD: quantized (row, dim, value) explode, broadcast "
+        "dim-join, exact integer pair distances with map-side partial "
+        "aggregation — the pair relation is bounded by (2n)^2 d regardless "
+        "of corpus size.",
+    )
+
+    # 6o. embedding-width closed forms: the SCORING plan is one corpus scan
+    #     of fold expressions (fit artifacts travel by closure)
+    for qname in ("gmm_outlier_emb", "ocsvm_emb"):
+        df = qs[qname](spark, SF)
+        p = plan_of(df)
+        n_scans = p.count(") Scan parquet")
+        ok = n_scans == 1 and "Join" not in p and "MapInPandas" not in p
+        if not ok:
+            failures.append(
+                f"{qname}: scoring plan wants 1 scan, no joins/Python (got {n_scans} scans)"
+            )
+        sections.append(
+            f"## {qname} — single-scan closed-form scoring (d=64)\n\n"
+            "Fit moments are tiny aggregates at build time; the returned "
+            "scoring plan is one corpus scan of sequential-fold expressions "
+            f"with the parameter literals in the closure. Check: "
+            f"{'OK' if ok else 'FAIL'} ({n_scans} scan(s))\n"
+        )
+
     # 7. dedup minhash: signature agg is partial+final (no raw-shingle shuffle
     #    of text), candidate join is an equi-join
     audit(
