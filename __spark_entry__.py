@@ -844,6 +844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # kernel-mean OCSVM at the same width
     q["ocsvm_emb"] = lambda s, sf: outlier.ocsvm_emb(_t(s, sf, "embeddings"))
+    # isolation forest at the same width
+    q["iforest_emb"] = lambda s, sf: outlier.iforest_emb(_t(s, sf, "embeddings"))
     q["classifier_drift_logit"] = lambda s, sf: classifier.classifier_drift_logit(
         _events_u(s, sf), ("value", "u"), "event_id"
     )
@@ -889,7 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmd_decisions", "fet_decisions", "lsdd_decisions", "gmm_outlier_4d",
         "pca_outlier_4d", "lm_unigram_score", "doc_repetition",
         "mmd_drift_vec", "mmd_perm_vec", "classifier_drift_logit",
-        "pca_outlier_emb", "gmm_outlier_emb", "ocsvm_emb",
+        "pca_outlier_emb", "gmm_outlier_emb", "ocsvm_emb", "iforest_emb",
         # code changed in round 4 with OUTPUT changes (media_features:
         # driver-hashable embedding projection; knn_ensemble: PValNormalizer
         # column) — trend/seasonal/gmm_2c changed only in arithmetic
@@ -2516,6 +2518,67 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
         )
 
     o["gmm_outlier_emb"] = _gmm_emb_oracle()
+
+    # isolation forest at d=64 (mirrors outlier.iforest_emb): md5 cut trees
+    # over per-dim global ranges computed in-engine; same leaf/prefix chain
+    import hashlib as _hl
+
+    def _ife_c(s):
+        return (
+            f"CASE WHEN {s} = 2.0 THEN 1.0 ELSE "
+            f"2.0*(ln({s} - 1.0) + 0.5772156649015329) - 2.0*({s} - 1.0)/{s} END"
+        )
+
+    _IFE_T, _IFE_D = 4, 8
+    _ife_bits = []
+    for _t in range(_IFE_T):
+        _parts = []
+        for _lv in range(_IFE_D):
+            _hd = _hl.md5(f"ife:{_t}:{_lv}".encode()).hexdigest()
+            _dml = int(_hd[:4], 16) % 64
+            _frac = (int(_hd[4:12], 16) % 1000000) / 1e6
+            _parts.append(
+                f"CASE WHEN v[{_dml + 1}] <= lo[{_dml + 1}] + {_frac!r}*(hi[{_dml + 1}] - lo[{_dml + 1}]) "
+                "THEN '0' ELSE '1' END"
+            )
+        _ife_bits.append("(" + " || ".join(_parts) + ")")
+
+    def _ife_tree_ctes(t):
+        pcs = ",\n".join(
+            f"epc{t}_{lv} AS (SELECT substr(leaf,1,{lv}) AS p{lv}, sum(sD) AS s{lv} "
+            f"FROM elc{t} GROUP BY 1)"
+            for lv in range(1, _IFE_D)
+        )
+        joins = " ".join(
+            f"JOIN epc{t}_{lv} ON substr(leaf,1,{lv}) = epc{t}_{lv}.p{lv}"
+            for lv in range(1, _IFE_D)
+        )
+        whens = " ".join(f"WHEN s{lv} = 1.0 THEN {float(lv)!r}" for lv in range(1, _IFE_D))
+        return f"""elc{t} AS (SELECT b{t} AS leaf, CAST(count(*) AS DOUBLE) AS sD FROM ebt GROUP BY 1),
+{pcs},
+eh{t}m AS (SELECT leaf, CASE {whens}
+          WHEN sD = 1.0 THEN {float(_IFE_D)!r}
+          ELSE {float(_IFE_D)!r} + ({_ife_c('sD')}) END AS h{t}
+          FROM elc{t} {joins})"""
+
+    o["iforest_emb"] = f"""
+WITH base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+exr AS (SELECT j, min(v[CAST(j AS INTEGER) + 1]) AS mn, max(v[CAST(j AS INTEGER) + 1]) AS mx
+        FROM base, generate_series(0, 63) AS t(j) GROUP BY 1),
+rgx AS (SELECT list(mn ORDER BY j) AS lo, list(mx ORDER BY j) AS hi FROM exr),
+nnc AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM base),
+ebt AS (SELECT id, nn, {_ife_bits[0]} AS b0, {_ife_bits[1]} AS b1,
+               {_ife_bits[2]} AS b2, {_ife_bits[3]} AS b3
+        FROM base CROSS JOIN rgx CROSS JOIN nnc),
+{_ife_tree_ctes(0)},
+{_ife_tree_ctes(1)},
+{_ife_tree_ctes(2)},
+{_ife_tree_ctes(3)}
+SELECT id AS vec_id,
+       round(pow(2.0, -(((h0 + h1 + h2 + h3)/4.0) / ({_ife_c('nn')}))), 6) + 0.0 AS if_score
+FROM ebt JOIN eh0m ON ebt.b0 = eh0m.leaf JOIN eh1m ON ebt.b1 = eh1m.leaf
+         JOIN eh2m ON ebt.b2 = eh2m.leaf JOIN eh3m ON ebt.b3 = eh3m.leaf
+"""
 
     # kernel-mean OCSVM at d=64 (mirrors outlier.ocsvm_emb)
     _oc_d2 = (

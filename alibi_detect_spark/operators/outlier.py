@@ -696,6 +696,97 @@ def ocsvm_emb(
     )
 
 
+def iforest_emb(
+    emb,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_trees: int = 4,
+    depth: int = 8,
+):
+    """:func:`iforest_hash_2feat` at the reference's REAL embedding width —
+    deterministic md5 global-range cut trees over a d-dim ``array<float>``
+    column, fully oracle-checkable at d = 64 (seeded-sklearn semantics stay
+    in :func:`iforest_outlier_scores`, rows-only). Each level's (dimension,
+    threshold fraction) comes from ``md5('ife:t:l')``; thresholds are
+    ``lo_d + frac·(hi_d − lo_d)`` over the per-dimension GLOBAL range
+    (driver-computed from exact min/max aggregates — the SQL twin derives
+    the identical doubles in-engine), so every tree is a bit-string column
+    and the isolation depth comes from prefix counts over the ≤2^depth-row
+    leaf relation, exactly the 2-feature operator's plan shape."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    gamma = 0.5772156649015329
+    base = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    ex = base.select(F.posexplode("v").alias("j", "x"))
+    rg = (
+        ex.groupBy("j")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    rgm = {int(r["j"]): r for r in rg}
+    nn = float(rgm[0]["c"])
+
+    j = base
+    for t in range(n_trees):
+        bits = None
+        for lv in range(depth):
+            hd = hashlib.md5(f"ife:{t}:{lv}".encode()).hexdigest()
+            dml = int(hd[:4], 16) % dim
+            frac = (int(hd[4:12], 16) % 1000000) / 1e6
+            lo, hi = rgm[dml]["mn"], rgm[dml]["mx"]
+            thr = lo + frac * (hi - lo)
+            bit = F.when(
+                F.element_at(F.col("v"), dml + 1) <= F.lit(thr), F.lit("0")
+            ).otherwise(F.lit("1"))
+            bits = bit if bits is None else F.concat(bits, bit)
+        j = j.withColumn(f"b{t}", bits)
+
+    def c_of(s):
+        return F.when(s == 2.0, F.lit(1.0)).otherwise(
+            F.lit(2.0) * (F.log(s - F.lit(1.0)) + F.lit(gamma))
+            - F.lit(2.0) * (s - F.lit(1.0)) / s
+        )
+
+    def c_py(s):
+        return 1.0 if s == 2.0 else 2.0 * (math.log(s - 1.0) + gamma) - 2.0 * (s - 1.0) / s
+
+    for t in range(n_trees):
+        bt = f"b{t}"
+        lc = j.groupBy(bt).agg(F.count(F.lit(1)).cast("double").alias("sD")).localCheckpoint()
+        m = lc.select(F.col(bt).alias("leaf"), "sD")
+        for lv in range(1, depth):
+            pc = lc.groupBy(F.substring(F.col(bt), 1, lv).alias(f"p{lv}")).agg(
+                F.sum("sD").alias(f"s{lv}")
+            )
+            m = m.join(
+                F.broadcast(pc), F.substring(F.col("leaf"), 1, lv) == F.col(f"p{lv}")
+            ).drop(f"p{lv}")
+        h = F.when(F.col("s1") == 1.0, F.lit(1.0))
+        for lv in range(2, depth):
+            h = h.when(F.col(f"s{lv}") == 1.0, F.lit(float(lv)))
+        h = h.when(F.col("sD") == 1.0, F.lit(float(depth))).otherwise(
+            F.lit(float(depth)) + c_of(F.col("sD"))
+        )
+        map_t = m.select("leaf", h.alias(f"h{t}"))
+        j = j.join(F.broadcast(map_t), j[bt] == map_t["leaf"]).drop("leaf")
+    avg_h = F.col("h0")
+    for t in range(1, n_trees):
+        avg_h = avg_h + F.col(f"h{t}")
+    avg_h = avg_h / F.lit(float(n_trees))
+    score = F.pow(F.lit(2.0), -(avg_h / F.lit(c_py(nn))))
+    return j.select(
+        F.col("__id").alias(id_col),
+        (F.round(score, 6) + F.lit(0.0)).alias("if_score"),
+    )
+
+
 def vae_outlier_2feat(
     df, cols: tuple[str, str], id_col: str, top_k: int = 100, eps: float = 1e-9
 ):

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "pca_outlier_emb",
     "gmm_outlier_emb",
     "ocsvm_emb",
+    "iforest_emb",
     "lof_outlier",
     "kpca_outlier",
     "iforest_outlier",

@@ -349,3 +349,31 @@ def test_embedding_width_ops_partitioning_invariant(spark):
         a = sorted(map(tuple, fn(emb).collect()))
         b = sorted(map(tuple, fn(emb.repartition(16, "vec_id")).collect()))
         assert a == b, fn.__name__
+
+
+def test_iforest_emb_isolates_far_point(spark):
+    """d=64 md5 cut-tree isolation forest: a far-out point isolates at
+    shallow depth and takes the top score; scores are partitioning-invariant."""
+    import pandas as pd
+
+    from alibi_detect_spark.operators import outlier
+
+    rng = np.random.default_rng(23)
+    n = 500
+    base = rng.normal(size=(n, 64)).astype(np.float32)
+    base[0] = 25.0  # far outside every per-dim range of the bulk
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(base)})
+    )
+    got = outlier.iforest_emb(emb).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert got["if_score"].idxmax() == 0
+    assert ((got["if_score"] > 0) & (got["if_score"] <= 1)).all()
+    again = (
+        outlier.iforest_emb(emb.repartition(16, "vec_id"))
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(
+        got["if_score"].to_numpy().view(np.uint64), again["if_score"].to_numpy().view(np.uint64)
+    )
