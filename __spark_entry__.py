@@ -846,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ocsvm_emb"] = lambda s, sf: outlier.ocsvm_emb(_t(s, sf, "embeddings"))
     # isolation forest at the same width
     q["iforest_emb"] = lambda s, sf: outlier.iforest_emb(_t(s, sf, "embeddings"))
+    # diagonal Mahalanobis at the same width
+    q["mahalanobis_emb"] = lambda s, sf: outlier.mahalanobis_emb(_t(s, sf, "embeddings"))
     q["classifier_drift_logit"] = lambda s, sf: classifier.classifier_drift_logit(
         _events_u(s, sf), ("value", "u"), "event_id"
     )
@@ -891,7 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmd_decisions", "fet_decisions", "lsdd_decisions", "gmm_outlier_4d",
         "pca_outlier_4d", "lm_unigram_score", "doc_repetition",
         "mmd_drift_vec", "mmd_perm_vec", "classifier_drift_logit",
-        "pca_outlier_emb", "gmm_outlier_emb", "ocsvm_emb", "iforest_emb",
+        "pca_outlier_emb", "gmm_outlier_emb", "ocsvm_emb", "iforest_emb", "mahalanobis_emb",
         # code changed in round 4 with OUTPUT changes (media_features:
         # driver-hashable embedding projection; knn_ensemble: PValNormalizer
         # column) — trend/seasonal/gmm_2c changed only in arithmetic
@@ -906,7 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_prefix", "drift_fdr", "ewma_hourly_counts", "fet_drift",
         "fet_online", "gapfill_1h_events", "knn_outlier", "kpca_outlier",
         "ks_drift", "lof_outlier", "mahalanobis_topk", "mmd_drift",
-        "mmd_online", "mmd_perm_test", "online_decisions", "pages_roundtrip",
+        "mmd_online", "mmd_perm_test", "online_decisions",
         "quantile_thresholds", "ref_update_last_n",
         "regressor_uncertainty_drift", "reservoir_sample", "rollup_1d_cascade",
         "rollup_1h_events", "sr_saliency", "tabular_drift",
@@ -917,7 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # double driver evidence (green in BOTH r1 and r2, code untouched
         # since) — the two entries that yield their window slots to the 14
         # new round-4 queries; their evidence chain is the r1+r2 artifacts
-        "token_rollup_1h_salted", "token_invariant",
+        "token_rollup_1h_salted", "token_invariant", "pages_roundtrip",
         # rows-only with an r3 row already — keep near the window edge
         "lsdd_perm_test", "lsdd_online", "mahalanobis_online",
         "context_mmd_drift", "iforest_outlier", "svm_outlier", "gmm_outlier",
@@ -2578,6 +2580,23 @@ SELECT id AS vec_id,
        round(pow(2.0, -(((h0 + h1 + h2 + h3)/4.0) / ({_ife_c('nn')}))), 6) + 0.0 AS if_score
 FROM ebt JOIN eh0m ON ebt.b0 = eh0m.leaf JOIN eh1m ON ebt.b1 = eh1m.leaf
          JOIN eh2m ON ebt.b2 = eh2m.leaf JOIN eh3m ON ebt.b3 = eh3m.leaf
+"""
+
+    # diagonal Mahalanobis at d=64 (mirrors outlier.mahalanobis_emb)
+    o["mahalanobis_emb"] = """
+WITH base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+ex AS (SELECT id, j, CAST(round(v[CAST(j AS INTEGER) + 1]*1000000) AS BIGINT) AS xq
+       FROM base, generate_series(0, 63) AS t(j)),
+gl AS (SELECT j, CAST(count(*) AS DOUBLE) AS n, CAST(sum(xq) AS DOUBLE) AS s,
+              CAST(sum(xq*xq) AS DOUBLE) AS ss FROM ex GROUP BY 1),
+mus AS (SELECT list(s/(n*1000000.0) ORDER BY j) AS mu,
+               list(ss/(n*1000000.0*1000000.0) - (s/(n*1000000.0))*(s/(n*1000000.0)) + 1e-9
+                    ORDER BY j) AS vr
+        FROM gl)
+SELECT id AS vec_id,
+       round(list_reduce(list_transform(generate_series(1, 64),
+             i -> (v[i]-mu[i])*(v[i]-mu[i])/vr[i]), (a, b) -> a + b), 6) + 0.0 AS maha_score
+FROM base CROSS JOIN mus
 """
 
     # kernel-mean OCSVM at d=64 (mirrors outlier.ocsvm_emb)

@@ -787,6 +787,67 @@ def iforest_emb(
     )
 
 
+def mahalanobis_emb(
+    emb,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    var_eps: float = 1e-9,
+    quant: int = 1_000_000,
+):
+    """Mahalanobis outlier score at the REAL embedding width, DIAGONAL-
+    covariance instance (standardized Euclidean) — the d=64 oracle sibling
+    of :func:`..operators.drift.mahalanobis_scores` (which carries the full
+    2×2 closed-form inverse at d=2). A full 64×64 covariance inverse has no
+    mirrored closed form, so this instance scores against the per-dimension
+    variances: ``score = Σ_j (x_j − μ_j)²/(var_j + ε)``, with μ/var from
+    exact quantized moments and the per-row reduction a SEQUENTIAL index
+    fold (``F.aggregate`` ≡ ``list_reduce``)."""
+    from pyspark.sql import functions as F
+
+    d = dim
+    q = float(quant)
+    base = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    ex = base.select(F.posexplode("v").alias("j", "x")).select(
+        "j", F.round(F.col("x") * quant).cast("long").alias("xq")
+    )
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    gl = (
+        ex.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            big(F.col("xq")).alias("s"),
+            big(F.col("xq") * F.col("xq")).alias("ss"),
+        )
+        .collect()
+    )
+    gm = {int(r["j"]): r for r in gl}
+    n = gm[0]["n"]
+    mu = [gm[j]["s"] / (n * q) for j in range(d)]
+    vr = [
+        gm[j]["ss"] / (n * q * q) - (gm[j]["s"] / (n * q)) * (gm[j]["s"] / (n * q))
+        + var_eps
+        for j in range(d)
+    ]
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    vr_arr = F.array(*[F.lit(x) for x in vr])
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(d)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (F.element_at(F.col("v"), i) - F.element_at(mu_arr, i))
+        * (F.element_at(F.col("v"), i) - F.element_at(mu_arr, i))
+        / F.element_at(vr_arr, i),
+    )
+    return base.select(
+        F.col("__id").alias(id_col),
+        (F.round(score, 6) + F.lit(0.0)).alias("maha_score"),
+    )
+
+
 def vae_outlier_2feat(
     df, cols: tuple[str, str], id_col: str, top_k: int = 100, eps: float = 1e-9
 ):

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "gmm_outlier_emb",
     "ocsvm_emb",
     "iforest_emb",
+    "mahalanobis_emb",
     "lof_outlier",
     "kpca_outlier",
     "iforest_outlier",
