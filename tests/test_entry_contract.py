@@ -30,3 +30,22 @@ def test_cheap_queries_execute(spark, sf_dir):
     qs = E.queries()
     for name in ["rollup_1h_events", "token_invariant", "lang_id", "tpch_q1"]:
         assert qs[name](spark, sf_dir).count() > 0, name
+
+
+def test_recording_window_covers_unproven_queries():
+    """The driver records only the first ~50 queries() entries per round.
+    Guard the round-4 ordering invariant: every query that lacks a
+    CORRECTNESS_r03 row must sit inside the first 50 — except the three
+    documented double-evidenced (r1 AND r2 hash-green, untouched) entries
+    that yielded their slots to the new round-4 queries."""
+    import json
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "CORRECTNESS_r03.json")
+    if not os.path.exists(art):
+        return
+    r3 = set(json.load(open(art)))
+    names = list(E.queries())
+    allowed_outside = {"token_rollup_1h_salted", "token_invariant", "pages_roundtrip"}
+    uncovered = [n for n in names if n not in set(names[:50]) and n not in r3]
+    assert set(uncovered) <= allowed_outside, uncovered
