@@ -667,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (cd/base_online.py:131-144,382-395 decision semantics). The general
     # data-dependent calibrations stay in online_decisions (rows-only).
     from alibi_detect_spark.functions.online_thresholds import (
+        fet_data_threshold_table,
         fet_decision_thresholds,
         lsdd2_decision_thresholds,
         mmd_decision_thresholds,
@@ -734,6 +735,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fet_decisions"] = fet_decisions
+
+    def fet_decisions_data(s, sf):
+        """DATA-dependent online-FET decision path: thresholds from the REAL
+        ``OnlineFET.fit`` bootstrap on each key's ACTUAL reference bits
+        (``cd/fet_online.py:134-223``). The bootstrap depends on ``x_ref``
+        only through its sufficient statistic ``(n_ref, sum_ref)``, so the
+        fit runs once per admissible ``sum_ref`` (a total lookup table —
+        functions/online_thresholds.py) and each key joins the row selected
+        by the ``sum_ref`` computed FROM ITS DATA. Decisions compare the
+        hash-green rounded stat trajectory against the rounded looked-up
+        threshold (cd/base_online.py:131-144,382-395 lookup semantics)."""
+        bits = _events_bits(s, sf)
+        wk = Window.partitionBy("event_type").orderBy("seq")
+        refs = (
+            bits.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") <= 200)
+            .groupBy("event_type")
+            .agg(F.sum("bit").cast("long").alias("sum_ref"))
+            .where((F.col("sum_ref") > 0) & (F.col("sum_ref") < 200))
+        )
+        stats = (
+            fet_online_over(bits, "event_type", "seq", "bit")
+            .where(fin("fet_stat"))
+            .select(
+                "event_type", "seq",
+                (F.round("fet_stat", 6) + F.lit(0.0)).alias("fet_stat"),
+            )
+        )
+        thr_df = s.createDataFrame(
+            list(fet_data_threshold_table()), "sum_ref long, tt int, thr double"
+        )
+        st = (
+            stats.withColumn("t", F.row_number().over(wk))
+            .join(F.broadcast(refs), "event_type")
+            .withColumn("tt", F.least(F.col("t"), F.lit(15)))
+        )
+        dec = (
+            st.join(F.broadcast(thr_df), ["sum_ref", "tt"])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_scored"),
+                F.sum((F.col("fet_stat") > F.col("thr")).cast("long")).alias("n_drift"),
+            )
+        )
+        keys = _t(s, sf, "events").select("event_type").distinct()
+        return (
+            keys.join(refs, "event_type", "left")
+            .join(dec, "event_type", "left")
+            .select(
+                F.lit("fet_data").alias("detector"),
+                "event_type",
+                F.coalesce("sum_ref", F.lit(-1)).cast("long").alias("sum_ref"),
+                F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+                F.coalesce("n_drift", F.lit(0)).cast("long").alias("n_drift"),
+            )
+        )
+
+    q["fet_decisions_data"] = fet_decisions_data
 
     def lsdd_decisions(s, sf):
         stats = lsdd_online_stats_over(
@@ -3652,6 +3711,46 @@ FROM (SELECT DISTINCT {key_col} AS k FROM events) e LEFT JOIN dec USING (k)
         o["lsdd_online_hash"], "event_type", "event_type", "event_id", "lsdd_stat",
         _lsdd_thr_fn(), clamp=10, label="lsdd",
     )
+
+    # data-dependent FET decisions: the full (sum_ref → thresholds) lookup is
+    # produced by the REAL OnlineFET.fit bootstrap (one fit per admissible
+    # sufficient statistic — FET calibration reads x_ref only through
+    # (n_ref, sum_ref), cd/fet_online.py:134-223); each key selects the row
+    # matching the sum_ref computed FROM ITS ACTUAL reference bits
+    from alibi_detect_spark.functions.online_thresholds import (
+        fet_data_threshold_table as _fet_data_tbl,
+    )
+
+    _fdt_rows = ", ".join(
+        f"({sr}, {tt}, {thr!r})" for sr, tt, thr in _fet_data_tbl()
+    )
+    o["fet_decisions_data"] = f"""
+WITH base AS (SELECT * FROM ({o["fet_online"]}) tq),
+o2 AS (SELECT event_type, event_id AS seq,
+              CASE WHEN value >= 10.0 THEN 1 ELSE 0 END AS bit,
+              row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+       FROM events),
+refs2 AS (SELECT event_type, CAST(sum(bit) AS BIGINT) AS sum_ref
+          FROM o2 WHERE rn <= 200 GROUP BY 1
+          HAVING sum(bit) > 0 AND sum(bit) < 200),
+rnk AS (SELECT event_type, fet_stat,
+               row_number() OVER (PARTITION BY event_type ORDER BY seq) AS t
+        FROM base),
+thrt(sum_ref, tt, thr) AS (VALUES {_fdt_rows}),
+dec AS (SELECT rnk.event_type, count(*) AS n_scored,
+               sum(CASE WHEN fet_stat > thr THEN 1 ELSE 0 END) AS n_drift
+        FROM rnk JOIN refs2 USING (event_type)
+                 JOIN thrt ON thrt.sum_ref = refs2.sum_ref
+                          AND thrt.tt = least(rnk.t, 15)
+        GROUP BY 1)
+SELECT 'fet_data' AS detector, e.event_type,
+       CAST(coalesce(r.sum_ref, -1) AS BIGINT) AS sum_ref,
+       CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(n_drift, 0) AS BIGINT) AS n_drift
+FROM (SELECT DISTINCT event_type FROM events) e
+LEFT JOIN refs2 r USING (event_type)
+LEFT JOIN dec USING (event_type)
+"""
 
     # Spectral Residual via an explicit O(n²) DFT (od/sr.py:231-368 semantics:
     # tail extrapolation, log-amplitude MA filter on the half spectrum with

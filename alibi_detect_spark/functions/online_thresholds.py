@@ -91,6 +91,57 @@ def fet_decision_thresholds(
 
 
 @lru_cache(maxsize=None)
+def fet_data_threshold_table(
+    n_ref: int = 200,
+    window_sizes: tuple[int, ...] = (15,),
+    ert: float = 100.0,
+    n_bootstraps: int = 1500,
+    seed: int = 42,
+) -> tuple[tuple[int, int, float], ...]:
+    """Data-DEPENDENT online-FET thresholds as a total lookup table over the
+    sufficient statistic.
+
+    The reference calibrates FET thresholds by bootstrapping Bernoulli streams
+    at the ACTUAL reference success rate and scoring them against the ACTUAL
+    reference window (``cd/fet_online.py:134-223``) — but that calibration
+    depends on ``x_ref`` only through ``(n_ref, sum_ref)`` (the simulation rate
+    is ``sum_ref/n_ref`` and the hypergeometric stat reads only the two
+    totals). With ``n_ref`` fixed by the detector config, running the REAL
+    :meth:`OnlineFET.fit` bootstrap once per admissible ``sum_ref`` (1 …
+    n_ref−1; the degenerate all-0/all-1 references are rejected by the
+    detector guard) yields thresholds for EVERY possible reference window.
+    Both the Spark query and the DuckDB twin then join this table on the
+    ``sum_ref`` computed FROM THE DATA — the thresholds each key actually uses
+    are the reference's own data-dependent bootstrap output, selected by its
+    actual reference bits.
+
+    Returns ``(sum_ref, t, thr)`` rows with ``t`` 1-based from the first
+    finite step (stream time ``min(window_sizes)``) through the clamp step
+    ``t_max = 2·max(window_sizes) − 1`` (threshold indexing semantics
+    ``cd/fet_online.py:108-113``), ``thr`` rounded to 6dp so the literal both
+    engines compare against is the same double."""
+    from .fet import OnlineFET
+
+    min_ws, max_ws = min(window_sizes), max(window_sizes)
+    rows: list[tuple[int, int, float]] = []
+    for sum_ref in range(1, n_ref):
+        bits = np.concatenate(
+            [np.ones(sum_ref, dtype=np.int64), np.zeros(n_ref - sum_ref, dtype=np.int64)]
+        )
+        det = OnlineFET.fit(
+            bits, ert=ert, window_sizes=tuple(window_sizes),
+            n_bootstraps=n_bootstraps, seed=seed,
+        )
+        finite = det.thresholds[min_ws - 1 : 2 * max_ws - 1]
+        rows.extend(
+            (sum_ref, i + 1, round(float(t), 6))
+            for i, t in enumerate(finite)
+            if np.isfinite(t)
+        )
+    return tuple(rows)
+
+
+@lru_cache(maxsize=None)
 def lsdd2_decision_thresholds(
     n_ref: int = 64,
     window_size: int = 10,

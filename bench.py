@@ -171,7 +171,15 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()) + pipeline_sec, 3)
-    line = json.dumps(
+    pipeline_block = {
+        "rows_in": n_rows,
+        "rollup_points": points,
+        "pages": n_pages,
+        "sec": round(pipeline_sec, 3),
+        "points_per_sec": round(points / pipeline_sec, 1),
+        "raw_rows_per_sec": round(n_rows / pipeline_sec, 1),
+    }
+    full = json.dumps(
         {
             "metric": "tier rollup+gapfill+downsample+Gorilla-encode pipeline"
             " + operator query suite (see queries)",
@@ -179,22 +187,33 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
-            "pipeline": {
-                "rows_in": n_rows,
-                "rollup_points": points,
-                "pages": n_pages,
-                "sec": round(pipeline_sec, 3),
-                "points_per_sec": round(points / pipeline_sec, 1),
-                "raw_rows_per_sec": round(n_rows / pipeline_sec, 1),
-                "stage_seconds": {k: round(v, 3) for k, v in out["metrics"].items()},
-            },
+            "pipeline": dict(
+                pipeline_block,
+                stage_seconds={k: round(v, 3) for k, v in out["metrics"].items()},
+            ),
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
         }
     )
-    # durable copy first (survives any stdout-capture truncation), then the
-    # one-JSON-line contract on stdout, flushed after draining stderr
+    # durable full record first (survives any stdout-capture truncation) ...
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"), "w") as fh:
-        fh.write(line + "\n")
+        fh.write(full + "\n")
+    # ... then a COMPACT (<1 KB) line on stdout: the full 95-query map
+    # overflowed the driver's tail capture in rounds 2-4 (BENCH parsed=null),
+    # so stdout carries the headline + the 10 slowest queries only.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    line = json.dumps(
+        {
+            "metric": "tier pipeline + operator suite"
+            " (10 slowest shown; full map in bench_result.json)",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "queries_run": len(timings),
+            "queries_sec": round(sum(timings.values()), 3),
+            "sf": sf,
+            "pipeline": pipeline_block,
+        }
+    )
     sys.stderr.flush()
     print(line, flush=True)
 

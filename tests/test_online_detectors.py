@@ -323,3 +323,35 @@ def test_cvm_thresholds_distribution_free_shared():
     sb, tb, db, _ = b.score_stream(xs)
     assert np.array_equal(np.nan_to_num(sa, nan=-1.0), np.nan_to_num(sb, nan=-1.0))
     assert np.array_equal(da, db)
+
+
+def test_fet_data_threshold_table_is_the_real_fit():
+    """The (sum_ref -> thresholds) lookup rows must be EXACTLY what
+    OnlineFET.fit produces on a key's actual reference bits: the bootstrap
+    reads x_ref only through (n_ref, sum_ref), so any arrangement of bits
+    with the same sum yields the same thresholds (cd/fet_online.py:134-223)."""
+    from alibi_detect_spark.functions.online_thresholds import (
+        fet_data_threshold_table,
+    )
+
+    tbl = fet_data_threshold_table()
+    by_sum = {}
+    for sr, tt, thr in tbl:
+        by_sum.setdefault(sr, {})[tt] = thr
+    # full sufficient-statistic domain, 15 finite steps each
+    assert set(by_sum) == set(range(1, 200))
+    assert all(set(v) == set(range(1, 16)) for v in by_sum.values())
+
+    rng = np.random.default_rng(99)
+    for sum_ref in (17, 160):
+        # a shuffled reference with the same sufficient statistic
+        bits = np.concatenate(
+            [np.ones(sum_ref, dtype=np.int64), np.zeros(200 - sum_ref, dtype=np.int64)]
+        )
+        rng.shuffle(bits)
+        det = OnlineFET.fit(
+            bits, ert=100.0, window_sizes=(15,), n_bootstraps=1500, seed=42
+        )
+        got = [round(float(t), 6) for t in det.thresholds[14:29]]
+        want = [by_sum[sum_ref][tt] for tt in range(1, 16)]
+        assert got == want
