@@ -340,6 +340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mahalanobis_topk"] = lambda s, sf: drift.mahalanobis_scores(
         _t(s, sf, "lineitem"), ("l_quantity", "l_discount"), ["l_orderkey", "l_linenumber"], 100
     )
+    # legacy cat_vars path: ABDM category distances from the binned-value
+    # contingency + classical-MDS cat2num + exact-moment Mahalanobis
+    # (od/mahalanobis.py:23,64,82-108, utils/distance.py:125-198,230-279)
+    q["mahalanobis_cat"] = lambda s, sf: outlier.mahalanobis_cat_scores(
+        _t(s, sf, "events"), "event_type", "value"
+    )
     q["knn_outlier"] = lambda s, sf: ann.knn_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, k=5
     )
@@ -3857,6 +3863,118 @@ st AS (SELECT p.vec_id,
        GROUP BY 1)
 SELECT vec_id, round(mean_lrd_ref / lrd_p, 6) AS lof_score FROM st
 """
+
+    # categorical Mahalanobis (legacy cat_vars path): quartile binning,
+    # ABDM contingency KL distances, classical-MDS power-method embedding,
+    # standardized cat2num, exact-moment 2-feature Mahalanobis — the SQL
+    # mirrors functions/abdm.py's scalar chains term-for-term (list_reduce
+    # ≡ the sequential folds; only the KL ln() calls are libm-dependent and
+    # d_pair is rounded at 9dp to absorb them)
+    def _mds_power_ctes(mat_cte: str, pre: str, n_iter: int) -> list[str]:
+        mv = "list_reduce(list_transform(generate_series(1, kk), i -> brow[i]*v[i]), (x, y) -> x + y)"
+        ctes = [
+            f"{pre}v0 AS MATERIALIZED (SELECT list_transform(generate_series(1, kk), "
+            f"i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v FROM kc)"
+        ]
+        for t in range(1, n_iter + 1):
+            ctes.append(
+                f"{pre}m{t} AS MATERIALIZED (SELECT j, {mv} AS wj FROM {mat_cte}, {pre}v{t - 1}, kc)"
+            )
+            ctes.append(
+                f"{pre}v{t} AS MATERIALIZED (SELECT list_transform(w, x -> x / "
+                f"sqrt(list_reduce(list_transform(w, y -> y*y), (a, b) -> a + b))) AS v "
+                f"FROM (SELECT list(wj ORDER BY j) AS w FROM {pre}m{t}))"
+            )
+        ctes.append(
+            f"{pre}mw AS MATERIALIZED (SELECT j, {mv} AS wj FROM {mat_cte}, {pre}v{n_iter}, kc)"
+        )
+        ctes.append(
+            f"{pre}ray AS MATERIALIZED (SELECT v AS u, "
+            f"list_reduce(list_transform(generate_series(1, kk), i -> v[i]*w[i]), (x, y) -> x + y) AS lam "
+            f"FROM {pre}v{n_iter}, (SELECT list(wj ORDER BY j) AS w FROM {pre}mw), kc)"
+        )
+        return ctes
+
+    _MC_ITER = 16
+    _mc_ctes = [
+        "ev AS MATERIALIZED (SELECT event_id, event_type, value FROM events)",
+        "q AS MATERIALIZED (SELECT "
+        + ", ".join(
+            f"round(quantile_cont(CAST(round(value*1000000) AS BIGINT), {p}))/1000000.0 + 0.0 AS q{i}"
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        )
+        + " FROM ev)",
+        """b AS MATERIALIZED (SELECT event_id, event_type, value,
+        (CASE WHEN value > q1 THEN 1 ELSE 0 END
+       + CASE WHEN q2 > q1 AND value > q2 THEN 1 ELSE 0 END
+       + CASE WHEN q3 > q2 AND value > q3 THEN 1 ELSE 0 END) AS bin
+       FROM ev, q)""",
+        """cats AS MATERIALIZED (SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) - 1 AS INTEGER) AS ci
+       FROM (SELECT DISTINCT event_type FROM ev) t)""",
+        "kc AS MATERIALIZED (SELECT CAST(count(*) AS INTEGER) AS kk FROM cats)",
+        "cnt AS MATERIALIZED (SELECT ci, count(*) AS n_c FROM b JOIN cats USING (event_type) GROUP BY 1)",
+        "ctg AS MATERIALIZED (SELECT ci, bin, count(*) AS n_cb FROM b JOIN cats USING (event_type) GROUP BY 1, 2)",
+        "grid AS MATERIALIZED (SELECT cnt.ci, cnt.n_c, gs.i AS bin FROM cnt, generate_series(0, 3) AS gs(i))",
+        """p AS MATERIALIZED (SELECT g.ci, g.bin,
+        CAST(coalesce(n_cb, 0) AS DOUBLE) / (CAST(g.n_c AS DOUBLE) + 1e-12) AS pv
+       FROM grid g LEFT JOIN ctg ON ctg.ci = g.ci AND ctg.bin = g.bin)""",
+        """dp AS MATERIALIZED (SELECT p1.ci AS c1, p2.ci AS c2,
+        round(list_reduce(list(
+            p1.pv*ln((p1.pv + 1e-12)/(p2.pv + 1e-12))
+          + p2.pv*ln((p2.pv + 1e-12)/(p1.pv + 1e-12)) ORDER BY p1.bin),
+          (x, y) -> x + y), 9) + 0.0 AS d
+       FROM p p1 JOIN p p2 ON p1.bin = p2.bin
+       GROUP BY 1, 2)""",
+        "dr AS MATERIALIZED (SELECT c1, list(d*d ORDER BY c2) AS r2 FROM dp GROUP BY 1)",
+        "rm AS MATERIALIZED (SELECT c1, r2, list_reduce(r2, (x, y) -> x + y)/kk AS rmean FROM dr, kc)",
+        "rmv AS MATERIALIZED (SELECT list(rmean ORDER BY c1) AS rms FROM rm)",
+        "gmr AS MATERIALIZED (SELECT list_reduce(rms, (x, y) -> x + y)/kk AS grand FROM rmv, kc)",
+        """br AS MATERIALIZED (SELECT m.c1 AS j,
+        list_transform(generate_series(1, kk), i ->
+            -0.5*(m.r2[i] - m.rmean - rms[i] + grand)) AS brow
+       FROM rm m, rmv, gmr, kc)""",
+        *_mds_power_ctes("br", "e1", _MC_ITER),
+        """br2 AS MATERIALIZED (SELECT b2.j, list_transform(generate_series(1, kk), i ->
+            brow[i] - lam*u[b2.j + 1]*u[i]) AS brow
+       FROM br b2, e1ray, kc)""",
+        *_mds_power_ctes("br2", "e2", _MC_ITER),
+        """emb2 AS MATERIALIZED (SELECT gs.j,
+        sqrt(greatest(r1.lam, 0.0))*r1.u[gs.j + 1] AS e1,
+        sqrt(greatest(r2.lam, 0.0))*r2.u[gs.j + 1] AS e2
+       FROM (SELECT unnest(generate_series(0, kk - 1)) AS j FROM kc) gs,
+            e1ray r1, e2ray r2)""",
+        "nr AS MATERIALIZED (SELECT j, e1, e2, sqrt(e1*e1 + e2*e2) AS nrm FROM emb2)",
+        "org AS MATERIALIZED (SELECT e1 AS eo1, e2 AS eo2 FROM nr ORDER BY nrm DESC, j DESC LIMIT 1)",
+        """dor AS MATERIALIZED (SELECT j, sqrt((e1 - eo1)*(e1 - eo1) + (e2 - eo2)*(e2 - eo2)) AS dv
+       FROM nr, org)""",
+        "stz AS MATERIALIZED (SELECT list(dv ORDER BY j) AS dvs FROM dor)",
+        "st2 AS MATERIALIZED (SELECT dvs, list_reduce(dvs, (x, y) -> x + y)/kk AS mean FROM stz, kc)",
+        """st3 AS MATERIALIZED (SELECT dvs, mean,
+        sqrt(list_reduce(list_transform(dvs, x -> (x - mean)*(x - mean)), (a, b) -> a + b)/kk) AS sd
+       FROM st2, kc)""",
+        """dab AS MATERIALIZED (SELECT gs.j, round((dvs[gs.j + 1] - mean)/(sd + 1e-12), 6) + 0.0 AS dabs
+       FROM (SELECT unnest(generate_series(0, kk - 1)) AS j FROM kc) gs, st3)""",
+        """fx AS MATERIALIZED (SELECT b.event_id, dab.dabs AS x0, b.value AS x1
+       FROM b JOIN cats USING (event_type) JOIN dab ON dab.j = cats.ci)""",
+        """stm AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(x0 AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(x0 AS DECIMAL(18,6))*CAST(x0 AS DECIMAL(18,6))) AS DOUBLE) AS sxx_r,
+        CAST(sum(CAST(x1 AS DECIMAL(18,4))*CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS syy_r,
+        CAST(sum(CAST(x0 AS DECIMAL(18,6))*CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS sxy_r
+       FROM fx)""",
+        """mo AS MATERIALIZED (SELECT sx/n AS mx, sy/n AS my,
+        sxx_r/n - (sx/n)*(sx/n) AS sxx,
+        syy_r/n - (sy/n)*(sy/n) AS syy,
+        sxy_r/n - (sx/n)*(sy/n) AS sxy
+       FROM stm)""",
+    ]
+    o["mahalanobis_cat"] = (
+        "WITH " + ",\n".join(_mc_ctes) + "\n"
+        "SELECT event_id, round((syy*(x0 - mx)*(x0 - mx) - 2*sxy*(x0 - mx)*(x1 - my)"
+        " + sxx*(x1 - my)*(x1 - my)) / (sxx*syy - sxy*sxy), 6) + 0.0 AS maha_cat\n"
+        "FROM fx CROSS JOIN mo"
+    )
 
     # sr_saliency (FFT), pca/gmm/kpca (eigendecomposition / EM),
     # lsdd_online / mahalanobis_online (matrix inverses), the *_perm_test

@@ -1661,3 +1661,107 @@ def kernel_pca_outlier_scores(
             )
 
     return emb.select(id_col, EMB_COL).mapInPandas(fn, schema="vec_id long, kpca_score double")
+
+
+def mahalanobis_cat_scores(
+    df: DataFrame,
+    cat_col: str,
+    value_col: str,
+    id_col: str = "event_id",
+    n_iter: int = 16,
+):
+    """Mahalanobis outlier scoring over MIXED categorical + numerical features
+    — the ``cat_vars`` path of the legacy detector
+    (``alibi_detect/od/mahalanobis.py:23,64,82-108`` + ``fit :110-190``):
+
+    1. quartile-bin the numerical feature (``utils/discretizer.py``,
+       percentiles [25, 50, 75], searchsorted over the deduped borders);
+    2. ABDM pairwise category distances from the binned-context contingency
+       (``utils/distance.py:125-198``);
+    3. multidimensional scaling to one scalar per category + standardization
+       (``utils/distance.py:230-279`` — classical-MDS power-method analog,
+       see :mod:`..functions.abdm`);
+    4. ``cat2num`` the rows and score with the closed-form 2-feature
+       population Mahalanobis (same exact-DECIMAL template as
+       ``drift.mahalanobis_scores``).
+
+    Scale shape: the contingency is ONE distributed groupBy over the full
+    table (map-side partial counts, k rows out); percentile borders are one
+    exact-percentile aggregate; everything category-sized (k×4 contingency,
+    k×k ABDM, the MDS chain) is driver scalar math mirrored term-for-term by
+    the SQL twin; scoring is one moment aggregate + one codegen scan with the
+    k category literals in a CASE chain. Nothing unbounded ever reaches the
+    driver and the corpus never shuffles."""
+    from pyspark.sql import functions as F
+
+    from ..functions.abdm import abdm_dpair, classical_mds_dabs
+
+    # 1. micro-unit integer quartile borders (identical doubles both engines)
+    qrow = (
+        df.withColumn("yq", F.round(F.col(value_col) * 1000000).cast("long"))
+        .agg(
+            *[
+                (F.round(F.expr(f"percentile(yq, {p})")) / F.lit(1e6) + F.lit(0.0)).alias(f"q{i}")
+                for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+            ]
+        )
+        .collect()[0]
+    )
+    borders = [qrow["q1"], qrow["q2"], qrow["q3"]]
+
+    # searchsorted over deduped borders: one conditional term per raw border
+    v = F.col(value_col)
+    bin_expr = (v > F.lit(borders[0])).cast("int")
+    for prev, q in zip(borders, borders[1:]):
+        if q > prev:
+            bin_expr = bin_expr + (v > F.lit(q)).cast("int")
+
+    # 2. distributed contingency: k rows (category, total, per-bin counts)
+    rows = (
+        df.groupBy(cat_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_c"),
+            *[
+                F.sum((bin_expr == F.lit(i)).cast("long")).alias(f"b{i}")
+                for i in range(4)
+            ],
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r[cat_col])
+    cats = [r[cat_col] for r in rows]
+    counts = [int(r["n_c"]) for r in rows]
+    cont = [[int(r[f"b{i}"]) for i in range(4)] for r in rows]
+
+    # 3. ABDM + classical-MDS + standardize (driver scalar chain)
+    dabs = classical_mds_dabs(abdm_dpair(cont, counts), n_iter=n_iter)
+
+    # 4. cat2num + exact-moment Mahalanobis
+    mapping = F.when(F.col(cat_col) == F.lit(cats[0]), F.lit(dabs[0]))
+    for cval, dval in zip(cats[1:], dabs[1:]):
+        mapping = mapping.when(F.col(cat_col) == F.lit(cval), F.lit(dval))
+    feat = df.select(id_col, mapping.alias("x0"), F.col(value_col).alias("x1"))
+    d0 = F.col("x0").cast("decimal(18,6)")
+    d1 = F.col("x1").cast("decimal(18,4)")
+    stats = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d0).cast("double").alias("sx"),
+        F.sum(d1).cast("double").alias("sy"),
+        F.sum(d0 * d0).cast("double").alias("sxx_r"),
+        F.sum(d1 * d1).cast("double").alias("syy_r"),
+        F.sum(d0 * d1).cast("double").alias("sxy_r"),
+    ).select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sxx_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("sxx"),
+        (F.col("syy_r") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("syy"),
+        (F.col("sxy_r") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("sxy"),
+    )
+    j = feat.crossJoin(F.broadcast(stats))
+    det = F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")
+    dx = F.col("x0").cast("double") - F.col("mx")
+    dy = F.col("x1").cast("double") - F.col("my")
+    score = (
+        F.col("syy") * dx * dx - 2 * F.col("sxy") * dx * dy + F.col("sxx") * dy * dy
+    ) / det
+    return j.select(id_col, (F.round(score, 6) + F.lit(0.0)).alias("maha_cat"))

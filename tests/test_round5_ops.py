@@ -1,0 +1,120 @@
+"""Round-5 operator tests: categorical Mahalanobis (cat_vars/ABDM path)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from alibi_detect_spark.functions.abdm import (
+    abdm_dpair,
+    classical_mds_dabs,
+    searchsorted_bin,
+)
+
+
+def _abdm_reference(X: np.ndarray, cat_col: int, bin_col: int, n_cat: int, n_bin: int):
+    """Straight transcription of alibi_detect/utils/distance.py:125-196 for
+    one categorical column with one binned context variable."""
+    eps = 1e-12
+    p_cond = np.zeros([n_bin, n_cat])
+    for j in range(n_cat):
+        rows = X[X[:, cat_col] == j]
+        for i in range(n_bin):
+            p_cond[i, j] = np.sum(rows[:, bin_col] == i) / (rows.shape[0] + eps)
+    d = np.zeros([n_cat, n_cat])
+    for i in range(n_cat):
+        for j in range(i):
+            acc = 0.0
+            for t in range(n_bin):
+                a, b = p_cond[t, i], p_cond[t, j]
+                acc += a * np.log((a + eps) / (b + eps)) + b * np.log((b + eps) / (a + eps))
+            d[i, j] = acc
+    return d + d.T
+
+
+def test_abdm_dpair_matches_reference_formula():
+    rng = np.random.default_rng(7)
+    n, k, nb = 4000, 5, 4
+    X = np.stack([rng.integers(0, k, n), rng.integers(0, nb, n)], axis=1)
+    want = _abdm_reference(X, 0, 1, k, nb)
+    cont = [
+        [int(((X[:, 0] == j) & (X[:, 1] == i)).sum()) for i in range(nb)]
+        for j in range(k)
+    ]
+    counts = [int((X[:, 0] == j).sum()) for j in range(k)]
+    got = np.array(abdm_dpair(cont, counts))
+    assert np.allclose(got, want, atol=1e-9)
+    assert np.allclose(got, got.T)
+    assert np.allclose(np.diag(got), 0.0)
+
+
+def test_searchsorted_bin_matches_numpy():
+    rng = np.random.default_rng(8)
+    borders = [1.5, 3.25, 3.25, 7.0]  # includes a duplicated border
+    uniq = np.unique(borders)
+    for v in rng.uniform(0, 9, 200):
+        assert searchsorted_bin(float(v), borders) == int(np.searchsorted(uniq, v))
+    for q in borders:  # exactly-on-border cases (side='left')
+        assert searchsorted_bin(q, borders) == int(np.searchsorted(uniq, q))
+
+
+def test_classical_mds_recovers_euclidean_distances():
+    """For a Euclidean-embeddable distance matrix of 2-D points, the top-2
+    classical MDS embedding reproduces pairwise distances, so d_abs equals
+    the standardized distance-from-the-max-norm point."""
+    pts = np.array([[0.0, 0.0], [3.0, 0.0], [0.0, 4.0], [2.0, 2.0], [5.0, 5.0]])
+    k = len(pts)
+    dmat = [
+        [round(float(np.linalg.norm(pts[i] - pts[j])), 9) for j in range(k)]
+        for i in range(k)
+    ]
+    dabs = classical_mds_dabs(dmat, n_iter=60)
+    # origin = point with max distance from the centroid (here [5,5], idx 4)
+    cen = pts.mean(axis=0)
+    dorig = np.linalg.norm(pts - pts[np.linalg.norm(pts - cen, axis=1).argmax()], axis=1)
+    want = (dorig - dorig.mean()) / (dorig.std() + 1e-12)
+    assert np.allclose(dabs, want, atol=1e-5)
+
+
+def test_classical_mds_deterministic_and_scalarchain():
+    """Same matrix twice -> bit-identical output (pure scalar chain, no RNG)."""
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 3, (6, 3))
+    dmat = [
+        [float(np.linalg.norm(pts[i] - pts[j])) for j in range(6)] for i in range(6)
+    ]
+    a = classical_mds_dabs(dmat)
+    b = classical_mds_dabs([row[:] for row in dmat])
+    assert a == b
+    assert all(isinstance(x, float) and math.isfinite(x) for x in a)
+    # standardization: mean ~ 0, population std ~ 1 (6dp rounding tolerance)
+    assert abs(sum(a) / len(a)) < 1e-5
+    assert abs(math.sqrt(sum((x - sum(a) / len(a)) ** 2 for x in a) / len(a)) - 1.0) < 1e-4
+
+
+@pytest.mark.usefixtures("spark")
+def test_mahalanobis_cat_operator(spark):
+    """End-to-end: the operator's cat2num mapping concentrates outlier mass
+    on rows whose (category, value) combination is rare."""
+    import pandas as pd
+
+    from alibi_detect_spark.operators.outlier import mahalanobis_cat_scores
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    cat = rng.choice(["a", "b", "c"], n, p=[0.5, 0.3, 0.2])
+    base = {"a": 10.0, "b": 50.0, "c": 90.0}
+    val = np.array([base[c] for c in cat]) + rng.normal(0, 3.0, n)
+    # 10 anomalous rows: category 'a' with category-'c' values
+    val[:10] = 90.0 + rng.normal(0, 1.0, 10)
+    cat[:10] = "a"
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n), "event_type": cat, "value": val})
+    )
+    out = mahalanobis_cat_scores(df, "event_type", "value").toPandas()
+    assert len(out) == n
+    assert out["maha_cat"].notna().all()
+    top20 = set(out.nlargest(20, "maha_cat")["event_id"])
+    assert len(top20 & set(range(10))) >= 8
