@@ -43,6 +43,8 @@ from alibi_detect_spark.operators.detect import (  # noqa: E402
     seasonal_band_outliers,
     ssa_outlier_hash_over,
     ssa_outlier_over,
+    ssa_outlier_wfeat_over,
+    ssa_power_layers,
     trend_band_outliers,
 )
 from alibi_detect_spark.operators.encode import decode_pages, encode_pages  # noqa: E402
@@ -536,6 +538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # over lag pairs + Hankel diagonal average — the hash-checkable instance
     # of the Seq2Seq analog (general-window seeded variant above stays
     # rows-only)
+    # window-4 SSA: general-lag power-method instance (the reference scores
+    # arbitrary seq_len shingles, od/seq2seq.py:199-244) — materially closer
+    # to the Seq2Seq contract than the w=2 closed form below
+    q["ssa_outlier_w4"] = lambda s, sf: ssa_outlier_wfeat_over(
+        metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
+        "event_type", "bucket_ts", "avg_value", w=4,
+    )
     q["ssa_outlier_hash"] = lambda s, sf: ssa_outlier_hash_over(
         metric_rollup(_t(s, sf, "events"), "event_type", "ts", "value", "1h"),
         "event_type",
@@ -1181,6 +1190,67 @@ SELECT v.event_type AS event_type, v.bucket_ts AS bucket_ts, v.y AS avg_value,
        CAST(greatest(v.y - band_hi, band_lo - v.y) > 0 AS INTEGER) AS is_outlier
 FROM v JOIN b ON v.event_type = b.event_type AND v.phase = b.phase
 """
+
+    # window-4 SSA: the SAME (name, expr) layer list the Spark operator
+    # evaluates via selectExpr (detect.ssa_power_layers) rendered as
+    # sequential CTEs — identical parse trees by construction
+    def _ssa_w_oracle(w: int = 4, n_iter: int = 8) -> str:
+        from alibi_detect_spark.operators.detect import ssa_power_layers as _spl
+
+        leads = ", ".join(
+            f"lead(x0, {i}) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS x{i}"
+            for i in range(1, w)
+        )
+        moms = ", ".join(
+            f"CAST(sum(CAST(x{i} AS DECIMAL(18,6))*CAST(x{jj} AS DECIMAL(18,6))) AS DOUBLE) AS s{i}{jj}"
+            for i in range(w)
+            for jj in range(i, w)
+        )
+        gs = ", ".join(
+            f"s{i}{jj}/n AS g{i}{jj}" for i in range(w) for jj in range(i, w)
+        )
+        ctes = [
+            f"r AS ({_ROLLUP_1H})",
+            "b0 AS (SELECT event_type, bucket_ts, CAST(avg_value AS DOUBLE) AS x0 FROM r)",
+            f"b1 AS (SELECT *, {leads} FROM b0)",
+            f"mom AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, {moms} "
+            f"FROM b1 WHERE x{w - 1} IS NOT NULL GROUP BY 1)",
+            f"g AS (SELECT event_type, {gs} FROM mom)",
+        ]
+        prev = "g"
+        for gi, grp in enumerate(_spl(w, n_iter)):
+            exprs = ", ".join(f"{e} AS {nm}" for nm, e in grp)
+            ctes.append(f"l{gi} AS (SELECT *, {exprs} FROM {prev})")
+            prev = f"l{gi}"
+        vs = ", ".join(f"v{n_iter}_{j} AS v{j}" for j in range(w))
+        proj = " + ".join(f"x{i}*v{i}" for i in range(w))
+        lags = ", ".join(
+            ["proj * v0 AS c0"]
+            + [
+                f"lag(proj, {i}) OVER (PARTITION BY event_type ORDER BY bucket_ts) * v{i} AS c{i}"
+                for i in range(1, w)
+            ]
+        )
+        num = " + ".join(f"coalesce(c{i}, 0.0)" for i in range(w))
+        cnt = " + ".join(
+            f"CASE WHEN c{i} IS NOT NULL THEN 1 ELSE 0 END" for i in range(w)
+        )
+        ctes += [
+            f"par AS (SELECT event_type, {vs} FROM {prev})",
+            f"sc0 AS (SELECT b1.event_type, bucket_ts, x0, {proj} AS proj, "
+            + ", ".join(f"v{j}" for j in range(w))
+            + " FROM b1 JOIN par USING (event_type))",
+            f"sc1 AS (SELECT event_type, bucket_ts, x0, {lags} FROM sc0)",
+            f"sc2 AS (SELECT event_type, bucket_ts, x0, {num} AS rnum, {cnt} AS rcnt FROM sc1)",
+        ]
+        return (
+            "WITH " + ",\n".join(ctes) + "\n"
+            f"SELECT event_type, bucket_ts, "
+            f"round((x0 - rnum/rcnt)*(x0 - rnum/rcnt), 6) + 0.0 AS ssa{w}_score\n"
+            "FROM sc2 WHERE rcnt > 0"
+        )
+
+    o["ssa_outlier_w4"] = _ssa_w_oracle(4, 8)
 
     # window-2 SSA: mirrors detect.ssa_outlier_hash_over layer-for-layer
     o["ssa_outlier_hash"] = f"""

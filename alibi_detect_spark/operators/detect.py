@@ -871,3 +871,96 @@ def score_rollup(
     return rollup.select(*dict.fromkeys(cols)).groupBy("source").applyInPandas(
         fn, schema=SCORE_SCHEMA
     )
+
+
+def ssa_power_layers(w: int, n_iter: int) -> list[list[tuple[str, str]]]:
+    """Dependency groups of (name, SQL-expression) layers for a fixed-
+    iteration power method on a per-key uncentered lag Gram with entries
+    ``g{i}{j}`` (i ≤ j). The SAME strings are evaluated by Spark
+    ``selectExpr`` and by the DuckDB twin's sequential CTEs, so both engines
+    build identical parse trees (the round-3b mirroring recipe)."""
+    gref = lambda i, j: f"g{min(i, j)}{max(i, j)}"  # noqa: E731
+    groups: list[list[tuple[str, str]]] = [
+        [(f"v0_{j}", "1.0" if j == 0 else "0.0") for j in range(w)]
+    ]
+    for t in range(1, n_iter + 1):
+        groups.append(
+            [
+                (f"w{t}_{j}", " + ".join(f"{gref(j, i)}*v{t - 1}_{i}" for i in range(w)))
+                for j in range(w)
+            ]
+        )
+        nrm = " + ".join(f"w{t}_{i}*w{t}_{i}" for i in range(w))
+        groups.append(
+            [(f"v{t}_{j}", f"w{t}_{j}/sqrt({nrm})") for j in range(w)]
+        )
+    return groups
+
+
+def ssa_outlier_wfeat_over(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    w: int = 4,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Window-``w`` SSA reconstruction scoring — the general-lag
+    oracle-checkable instance of the OutlierSeq2Seq analog
+    (``alibi_detect/od/seq2seq.py:15-330``: the reference scores arbitrary
+    ``seq_len`` shingles, ``:199-244``; :func:`ssa_outlier_hash_over` is the
+    closed-form w=2 case, the seeded general variant is
+    :func:`ssa_outlier_over`).
+
+    Per key: lag-``w`` trajectory windows via ``lead``; the uncentered w×w
+    Gram from ONE exact-DECIMAL moment aggregate (order-free under any
+    partitioning); top eigenvector by a FIXED-ITERATION power method (e₁
+    init) evaluated as shared (name, expr) layers over the k-row moment
+    relation — identical parse trees in Spark and the SQL twin, no driver
+    collect; rank-1 window reconstruction + Hankel diagonal averaging (each
+    timestep averages the reconstructions of every window covering it); score
+    = ``(x − x̂)²`` (``od/seq2seq.py:199 feature_score``).
+
+    Plan shape: one per-key window shuffle (lead/lag), one tiny moment
+    aggregate broadcast back, whole-stage-codegen scoring — zero Python."""
+    from pyspark.sql import Window
+
+    w0 = Window.partitionBy(key).orderBy(order_col)
+    base = df.select(
+        F.col(key), F.col(order_col), F.col(value).cast("double").alias("x0")
+    )
+    for i in range(1, w):
+        base = base.withColumn(f"x{i}", F.lead("x0", i).over(w0))
+    full = base.where(F.col(f"x{w - 1}").isNotNull())
+    dec = [F.col(f"x{i}").cast("decimal(18,6)") for i in range(w)]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i in range(w):
+        for jj in range(i, w):
+            aggs.append(F.sum(dec[i] * dec[jj]).cast("double").alias(f"s{i}{jj}"))
+    mo = full.groupBy(key).agg(*aggs).selectExpr(
+        key, *[f"s{i}{jj}/n AS g{i}{jj}" for i in range(w) for jj in range(i, w)]
+    )
+    for grp in ssa_power_layers(w, n_iter):
+        mo = mo.selectExpr("*", *[f"{e} AS {nm}" for nm, e in grp])
+    par = mo.selectExpr(key, *[f"v{n_iter}_{j} AS v{j}" for j in range(w)])
+
+    proj = " + ".join(f"x{i}*v{i}" for i in range(w))
+    scored = base.join(F.broadcast(par), key).selectExpr(
+        key, order_col, "x0", f"{proj} AS proj", *[f"v{j}" for j in range(w)]
+    )
+    lags = [
+        f"lag(proj, {i}) OVER (PARTITION BY {key} ORDER BY {order_col}) * v{i} AS c{i}"
+        for i in range(w)
+    ]
+    lags[0] = "proj * v0 AS c0"
+    scored = scored.selectExpr(key, order_col, "x0", *lags)
+    num = " + ".join(f"coalesce(c{i}, 0.0)" for i in range(w))
+    cnt = " + ".join(f"CASE WHEN c{i} IS NOT NULL THEN 1 ELSE 0 END" for i in range(w))
+    scored = scored.selectExpr(
+        key, order_col, "x0", f"{num} AS rnum", f"{cnt} AS rcnt"
+    ).where("rcnt > 0")
+    return scored.selectExpr(
+        key,
+        order_col,
+        f"round((x0 - rnum/rcnt)*(x0 - rnum/rcnt), 6) + 0.0 AS ssa{w}_score",
+    )

@@ -118,3 +118,73 @@ def test_mahalanobis_cat_operator(spark):
     assert out["maha_cat"].notna().all()
     top20 = set(out.nlargest(20, "maha_cat")["event_id"])
     assert len(top20 & set(range(10))) >= 8
+
+
+@pytest.mark.usefixtures("spark")
+def test_ssa_w4_detects_spike(spark):
+    """Window-4 SSA: a clean sinusoid reconstructs near-exactly; an injected
+    spike dominates the reconstruction-error ranking around its position."""
+    import pandas as pd
+
+    from alibi_detect_spark.operators.detect import ssa_outlier_wfeat_over
+
+    t = np.arange(400)
+    x = 10.0 + 5.0 * np.sin(2 * np.pi * t / 24)
+    x[200] += 40.0
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": "s", "o": t.astype(np.int64), "x": x})
+    )
+    out = (
+        ssa_outlier_wfeat_over(df, "k", "o", "x", w=4)
+        .toPandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 400
+    top = out.nlargest(4, "ssa4_score")["o"].to_numpy()
+    # the spike window touches positions 197..203; all top errors sit there
+    assert all(197 <= p <= 203 for p in top)
+    assert 200 in top
+    # away from the spike the rank-1 reconstruction has low error
+    far = out[(out["o"] < 150) | (out["o"] > 250)]["ssa4_score"]
+    assert far.median() < out.loc[200, "ssa4_score"] / 100
+
+
+@pytest.mark.usefixtures("spark")
+def test_ssa_w4_matches_numpy_power_method(spark):
+    """The distributed per-key eigenvector equals a NumPy power method on the
+    same lag Gram (same init, iterations, fold order is absorbed by tolerance)."""
+    import pandas as pd
+
+    from alibi_detect_spark.operators.detect import ssa_outlier_wfeat_over
+
+    rng = np.random.default_rng(5)
+    t = np.arange(300)
+    x = np.round(20.0 + 8.0 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 0.5, 300), 6)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": "s", "o": t.astype(np.int64), "x": x})
+    )
+    out = (
+        ssa_outlier_wfeat_over(df, "k", "o", "x", w=4)
+        .toPandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    # NumPy oracle: lag matrix, uncentered Gram, power method, Hankel average
+    w = 4
+    lagm = np.stack([x[i : len(x) - w + 1 + i] for i in range(w)], axis=1)
+    g = lagm.T @ lagm / len(lagm)
+    v = np.array([1.0, 0.0, 0.0, 0.0])
+    for _ in range(8):
+        wv = g @ v
+        v = wv / np.linalg.norm(wv)
+    proj = lagm @ v
+    num = np.zeros(len(x))
+    cnt = np.zeros(len(x))
+    for s in range(len(lagm)):
+        for i in range(w):
+            num[s + i] += proj[s] * v[i]
+            cnt[s + i] += 1
+    want = np.round((x - num / cnt) ** 2, 6)
+    got = out["ssa4_score"].to_numpy()
+    assert np.allclose(got, want, atol=1e-5)
