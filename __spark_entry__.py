@@ -963,41 +963,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-green in r1/r2 with code untouched since) may fall outside the
     # window; their evidence chain is the prior rounds' artifacts.
     priority = [
-        # new in round 4
-        "mmd_decisions", "fet_decisions", "lsdd_decisions", "gmm_outlier_4d",
-        "pca_outlier_4d", "lm_unigram_score", "doc_repetition",
-        "mmd_drift_vec", "mmd_perm_vec", "classifier_drift_logit",
-        "pca_outlier_emb", "gmm_outlier_emb", "ocsvm_emb", "iforest_emb", "mahalanobis_emb",
-        # code changed in round 4 with OUTPUT changes (media_features:
-        # driver-hashable embedding projection; knn_ensemble: PValNormalizer
-        # column) — trend/seasonal/gmm_2c changed only in arithmetic
-        # exactness, re-verified locally at both SFs, and sit after the
-        # no-r3-row block so the 50-entry window covers every unproven claim
-        "media_features", "knn_ensemble",
-        # NEVER driver-recorded in any round (rows-only siblings)
-        "ae_outlier", "ssa_outlier",
-        # no CORRECTNESS_r03 row (r1/r2 evidence only) — rotate them in so
-        # every query has a driver row within r3 ∪ r4
-        "chi2_drift", "classifier_drift", "cvm_drift", "cvm_online",
-        "dedup_exact_prefix", "drift_fdr", "ewma_hourly_counts", "fet_drift",
-        "fet_online", "gapfill_1h_events", "knn_outlier", "kpca_outlier",
-        "ks_drift", "lof_outlier", "mahalanobis_topk", "mmd_drift",
-        "mmd_online", "mmd_perm_test", "online_decisions",
-        "quantile_thresholds", "ref_update_last_n",
-        "regressor_uncertainty_drift", "reservoir_sample", "rollup_1d_cascade",
-        "rollup_1h_events", "sr_saliency", "tabular_drift",
-        "token_rollup_1h", "token_rollup_source",
-        "uncertainty_drift", "uncertainty_margin_drift",
-        # exactness-only changes (hash-green r3 rows + fresh local checks)
-        "trend_bands", "seasonal_bands", "gmm_outlier_2c",
-        # double driver evidence (green in BOTH r1 and r2, code untouched
-        # since) — the two entries that yield their window slots to the 14
-        # new round-4 queries; their evidence chain is the r1+r2 artifacts
+        # new in round 5
+        "fet_decisions_data", "mahalanobis_cat", "ssa_outlier_w4",
+        # no row since r1/r2 (the round-4 window exceptions) — rotated back
+        # in so the salted-agg and codec invariants get a fresh driver row
         "token_rollup_1h_salted", "token_invariant", "pages_roundtrip",
-        # rows-only with an r3 row already — keep near the window edge
-        "lsdd_perm_test", "lsdd_online", "mahalanobis_online",
-        "context_mmd_drift", "iforest_outlier", "svm_outlier", "gmm_outlier",
-        "pca_outlier", "classifier_drift_lr",
+        # oracle-backed queries with an r3 row but NO r4 row — recorded this
+        # round so every query has a row within r4 ∪ r5
+        "lsdd_perm_hash", "preproc_drift", "learned_kernel_drift",
+        "spot_the_diff", "spot_the_diff_2d", "iforest_hash", "ocsvm_mean",
+        "context_mmd_hash", "knn_outlier_predict", "pca_outlier_2d",
+        "gmm_outlier_2c", "adversarial_ae", "model_distillation",
+        "vae_outlier_2d", "llr_outlier", "aegmm_outlier", "vaegmm_outlier",
+        "ae_outlier_2d", "kpca_outlier_2c", "seasonal_bands",
+        "ssa_outlier_hash", "trend_bands", "mahalanobis_online_hash",
+        "lsdd_online_hash", "cvm_decisions", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash_pairs",
+        "dedup_embedding_cosine", "contamination_check", "weighted_sample",
+        "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_build", "lang_id",
+        "quality_score", "token_counts", "fingerprint", "tpch_q1",
+        # rows-only with an r3 row, no r4 row — the first 4 fit the window
+        "lsdd_perm_test", "classifier_drift_lr", "context_mmd_drift",
+        "svm_outlier",
+        # --- ~50-entry window edge ---
+        # rows-only beyond the window: r3 rows + NumPy bit-match pytests +
+        # hash-green closed-form siblings (iforest_hash / pca_outlier_* /
+        # gmm_outlier_* / lsdd_online_hash / mahalanobis_online_hash) carry
+        # their evidence; with 105 queries and ~50 slots per round these are
+        # the 5 entries that yield slots to the round-5 work
+        "iforest_outlier", "pca_outlier", "gmm_outlier", "lsdd_online",
+        "mahalanobis_online",
     ]
     assert all(name in q for name in priority), sorted(set(priority) - set(q))
     ordered = {name: q[name] for name in priority}

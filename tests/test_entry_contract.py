@@ -34,18 +34,21 @@ def test_cheap_queries_execute(spark, sf_dir):
 
 def test_recording_window_covers_unproven_queries():
     """The driver records only the first ~50 queries() entries per round.
-    Guard the round-4 ordering invariant: every query that lacks a
-    CORRECTNESS_r03 row must sit inside the first 50 — except the three
-    documented double-evidenced (r1 AND r2 hash-green, untouched) entries
-    that yielded their slots to the new round-4 queries."""
+    Guard the round-5 ordering invariant: every query that lacks a
+    CORRECTNESS_r04 row must sit inside the first 50 — except the five
+    documented rows-only entries (r3 rows + bit-match pytests + hash-green
+    siblings) that yielded their slots to the round-5 queries."""
     import json
 
     art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "CORRECTNESS_r03.json")
+                       "CORRECTNESS_r04.json")
     if not os.path.exists(art):
         return
-    r3 = set(json.load(open(art)))
+    r4 = set(json.load(open(art)))
     names = list(E.queries())
-    allowed_outside = {"token_rollup_1h_salted", "token_invariant", "pages_roundtrip"}
-    uncovered = [n for n in names if n not in set(names[:50]) and n not in r3]
+    allowed_outside = {
+        "iforest_outlier", "pca_outlier", "gmm_outlier", "lsdd_online",
+        "mahalanobis_online",
+    }
+    uncovered = [n for n in names if n not in set(names[:50]) and n not in r4]
     assert set(uncovered) <= allowed_outside, uncovered

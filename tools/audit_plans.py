@@ -503,6 +503,39 @@ def main() -> None:
         "(band_id, band_key) — equi-join only, never a cross join.",
     )
 
+    # 8. LSH band-key skew defense: the hot-boilerplate-bucket mitigation
+    #    named in dedup.py:218-233 is AQE skew-join splitting — assert the
+    #    engine session actually arms it (at sf0.01 the band join compiles to
+    #    a broadcast, the correct small-side shape; at 100 TB it becomes a
+    #    sort-merge join that AQE splits on skewed band keys, which only
+    #    happens if these flags are on in the load-bearing session config)
+    skew_checks = []
+    for conf_key in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+    ):
+        val = spark.conf.get(conf_key, "false")
+        ok = str(val).lower() == "true"
+        skew_checks.append(f"  - REQUIRE session `{conf_key}=true`: {'OK' if ok else 'MISSING'}")
+        if not ok:
+            failures.append(f"minhash skew defense: {conf_key} != true")
+    p = plan_of(qs["dedup_minhash_lsh"](spark, SF))
+    bcast_ok = "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    skew_checks.append(
+        "  - REQUIRE band-candidate join is broadcast at this SF (small side "
+        f"fits) and never cartesian: {'OK' if bcast_ok else 'FAIL'}"
+    )
+    if not bcast_ok:
+        failures.append("minhash skew defense: unexpected join shape at sf0.01")
+    sections.append(
+        "## LSH band-key skew defense (dedup_minhash_lsh)\n\n"
+        "Hot boilerplate text concentrates candidate pairs on a few band "
+        "keys (dedup.py:218-233). The named mitigation is AQE skew-join "
+        "splitting on the band-key shuffle: these checks pin the session "
+        "flags that arm it, plus the small-SF join shape.\n\nChecks:\n"
+        + "\n".join(skew_checks) + "\n"
+    )
+
     out = (
         "# PLANS — physical-plan audit (generated by tools/audit_plans.py)\n\n"
         "Run: `python tools/audit_plans.py` (re-generates this file; exits "
