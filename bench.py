@@ -95,7 +95,10 @@ BENCH_QUERIES = [
     "cvm_decisions",
     "mmd_decisions",
     "fet_decisions",
+    "fet_decisions_data",
     "lsdd_decisions",
+    "mahalanobis_cat",
+    "ssa_outlier_w4",
     "dedup_exact_prefix",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
