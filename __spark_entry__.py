@@ -348,6 +348,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mahalanobis_cat"] = lambda s, sf: outlier.mahalanobis_cat_scores(
         _t(s, sf, "events"), "event_type", "value"
     )
+    q["mahalanobis_mvdm"] = lambda s, sf: outlier.mahalanobis_cat_scores(
+        _t(s, sf, "events"), "event_type", "value", d_type="mvdm"
+    )
+    q["mahalanobis_abdm_mvdm"] = lambda s, sf: outlier.mahalanobis_cat_scores(
+        _t(s, sf, "events"), "event_type", "value", d_type="abdm-mvdm"
+    )
     q["knn_outlier"] = lambda s, sf: ann.knn_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, k=5
     )
@@ -964,7 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window; their evidence chain is the prior rounds' artifacts.
     priority = [
         # new in round 5
-        "fet_decisions_data", "mahalanobis_cat", "ssa_outlier_w4",
+        "fet_decisions_data", "mahalanobis_cat", "mahalanobis_mvdm",
+        "mahalanobis_abdm_mvdm", "ssa_outlier_w4",
         # no row since r1/r2 (the round-4 window exceptions) — rotated back
         # in so the salted-agg and codec invariants get a fresh driver row
         "token_rollup_1h_salted", "token_invariant", "pages_roundtrip",
@@ -982,17 +989,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine", "contamination_check", "weighted_sample",
         "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_build", "lang_id",
         "quality_score", "token_counts", "fingerprint", "tpch_q1",
-        # rows-only with an r3 row, no r4 row — the first 4 fit the window
-        "lsdd_perm_test", "classifier_drift_lr", "context_mmd_drift",
-        "svm_outlier",
+        # rows-only with an r3 row, no r4 row — the first 2 fit the window
+        "lsdd_perm_test", "classifier_drift_lr",
         # --- ~50-entry window edge ---
         # rows-only beyond the window: r3 rows + NumPy bit-match pytests +
         # hash-green closed-form siblings (iforest_hash / pca_outlier_* /
-        # gmm_outlier_* / lsdd_online_hash / mahalanobis_online_hash) carry
-        # their evidence; with 105 queries and ~50 slots per round these are
-        # the 5 entries that yield slots to the round-5 work
-        "iforest_outlier", "pca_outlier", "gmm_outlier", "lsdd_online",
-        "mahalanobis_online",
+        # gmm_outlier_* / context_mmd_hash / svm's ocsvm_mean /
+        # lsdd_online_hash / mahalanobis_online_hash) carry their evidence;
+        # with 107 queries and ~50 slots per round these are the 7 entries
+        # that yield slots to the round-5 work
+        "context_mmd_drift", "svm_outlier", "iforest_outlier", "pca_outlier",
+        "gmm_outlier", "lsdd_online", "mahalanobis_online",
     ]
     assert all(name in q for name in priority), sorted(set(priority) - set(q))
     ordered = {name: q[name] for name in priority}
@@ -3930,11 +3937,12 @@ SELECT vec_id, round(mean_lrd_ref / lrd_p, 6) AS lof_score FROM st
 """
 
     # categorical Mahalanobis (legacy cat_vars path): quartile binning,
-    # ABDM contingency KL distances, classical-MDS power-method embedding,
-    # standardized cat2num, exact-moment 2-feature Mahalanobis — the SQL
-    # mirrors functions/abdm.py's scalar chains term-for-term (list_reduce
-    # ≡ the sequential folds; only the KL ln() calls are libm-dependent and
-    # d_pair is rounded at 9dp to absorb them)
+    # contingency-based pairwise category distances (ABDM symmetric-KL /
+    # MVDM conditional-label L1 / their weighted combination), classical-MDS
+    # power-method embedding, standardized cat2num, exact-moment 2-feature
+    # Mahalanobis — the SQL mirrors functions/abdm.py's scalar chains
+    # term-for-term (list_reduce ≡ the sequential folds; only the KL ln()
+    # calls are libm-dependent and d_pair is rounded at 9dp to absorb them)
     def _mds_power_ctes(mat_cte: str, pre: str, n_iter: int) -> list[str]:
         mv = "list_reduce(list_transform(generate_series(1, kk), i -> brow[i]*v[i]), (x, y) -> x + y)"
         ctes = [
@@ -3961,7 +3969,43 @@ SELECT vec_id, round(mean_lrd_ref / lrd_p, 6) AS lof_score FROM st
         return ctes
 
     _MC_ITER = 16
-    _mc_ctes = [
+
+    def _mds_chain_ctes(pre: str, dp_cte: str, n_iter: int = _MC_ITER) -> list[str]:
+        """CTE program for one full (dpair -> standardized d_abs) chain,
+        mirroring functions/abdm.classical_mds_dabs; emits `{pre}dab (j, dabs)`."""
+        return [
+            f"{pre}dr AS MATERIALIZED (SELECT c1, list(d*d ORDER BY c2) AS r2 FROM {dp_cte} GROUP BY 1)",
+            f"{pre}rm AS MATERIALIZED (SELECT c1, r2, list_reduce(r2, (x, y) -> x + y)/kk AS rmean FROM {pre}dr, kc)",
+            f"{pre}rmv AS MATERIALIZED (SELECT list(rmean ORDER BY c1) AS rms FROM {pre}rm)",
+            f"{pre}gmr AS MATERIALIZED (SELECT list_reduce(rms, (x, y) -> x + y)/kk AS grand FROM {pre}rmv, kc)",
+            f"""{pre}br AS MATERIALIZED (SELECT m.c1 AS j,
+        list_transform(generate_series(1, kk), i ->
+            -0.5*(m.r2[i] - m.rmean - rms[i] + grand)) AS brow
+       FROM {pre}rm m, {pre}rmv, {pre}gmr, kc)""",
+            *_mds_power_ctes(f"{pre}br", f"{pre}e1", n_iter),
+            f"""{pre}br2 AS MATERIALIZED (SELECT b2.j, list_transform(generate_series(1, kk), i ->
+            brow[i] - lam*u[b2.j + 1]*u[i]) AS brow
+       FROM {pre}br b2, {pre}e1ray, kc)""",
+            *_mds_power_ctes(f"{pre}br2", f"{pre}e2", n_iter),
+            f"""{pre}emb2 AS MATERIALIZED (SELECT gs.j,
+        sqrt(greatest(r1.lam, 0.0))*r1.u[gs.j + 1] AS e1,
+        sqrt(greatest(r2.lam, 0.0))*r2.u[gs.j + 1] AS e2
+       FROM (SELECT unnest(generate_series(0, kk - 1)) AS j FROM kc) gs,
+            {pre}e1ray r1, {pre}e2ray r2)""",
+            f"{pre}nr AS MATERIALIZED (SELECT j, e1, e2, sqrt(e1*e1 + e2*e2) AS nrm FROM {pre}emb2)",
+            f"{pre}org AS MATERIALIZED (SELECT e1 AS eo1, e2 AS eo2 FROM {pre}nr ORDER BY nrm DESC, j DESC LIMIT 1)",
+            f"""{pre}dor AS MATERIALIZED (SELECT j, sqrt((e1 - eo1)*(e1 - eo1) + (e2 - eo2)*(e2 - eo2)) AS dv
+       FROM {pre}nr, {pre}org)""",
+            f"{pre}stz AS MATERIALIZED (SELECT list(dv ORDER BY j) AS dvs FROM {pre}dor)",
+            f"{pre}st2 AS MATERIALIZED (SELECT dvs, list_reduce(dvs, (x, y) -> x + y)/kk AS mean FROM {pre}stz, kc)",
+            f"""{pre}st3 AS MATERIALIZED (SELECT dvs, mean,
+        sqrt(list_reduce(list_transform(dvs, x -> (x - mean)*(x - mean)), (a, b) -> a + b)/kk) AS sd
+       FROM {pre}st2, kc)""",
+            f"""{pre}dab AS MATERIALIZED (SELECT gs.j, round((dvs[gs.j + 1] - mean)/(sd + 1e-12), 6) + 0.0 AS dabs
+       FROM (SELECT unnest(generate_series(0, kk - 1)) AS j FROM kc) gs, {pre}st3)""",
+        ]
+
+    _MC_HEAD = [
         "ev AS MATERIALIZED (SELECT event_id, event_type, value FROM events)",
         "q AS MATERIALIZED (SELECT "
         + ", ".join(
@@ -3983,62 +4027,67 @@ SELECT vec_id, round(mean_lrd_ref / lrd_p, 6) AS lof_score FROM st
         """p AS MATERIALIZED (SELECT g.ci, g.bin,
         CAST(coalesce(n_cb, 0) AS DOUBLE) / (CAST(g.n_c AS DOUBLE) + 1e-12) AS pv
        FROM grid g LEFT JOIN ctg ON ctg.ci = g.ci AND ctg.bin = g.bin)""",
-        """dp AS MATERIALIZED (SELECT p1.ci AS c1, p2.ci AS c2,
+    ]
+    _DP_ABDM = """dp AS MATERIALIZED (SELECT p1.ci AS c1, p2.ci AS c2,
         round(list_reduce(list(
             p1.pv*ln((p1.pv + 1e-12)/(p2.pv + 1e-12))
           + p2.pv*ln((p2.pv + 1e-12)/(p1.pv + 1e-12)) ORDER BY p1.bin),
           (x, y) -> x + y), 9) + 0.0 AS d
        FROM p p1 JOIN p p2 ON p1.bin = p2.bin
-       GROUP BY 1, 2)""",
-        "dr AS MATERIALIZED (SELECT c1, list(d*d ORDER BY c2) AS r2 FROM dp GROUP BY 1)",
-        "rm AS MATERIALIZED (SELECT c1, r2, list_reduce(r2, (x, y) -> x + y)/kk AS rmean FROM dr, kc)",
-        "rmv AS MATERIALIZED (SELECT list(rmean ORDER BY c1) AS rms FROM rm)",
-        "gmr AS MATERIALIZED (SELECT list_reduce(rms, (x, y) -> x + y)/kk AS grand FROM rmv, kc)",
-        """br AS MATERIALIZED (SELECT m.c1 AS j,
-        list_transform(generate_series(1, kk), i ->
-            -0.5*(m.r2[i] - m.rmean - rms[i] + grand)) AS brow
-       FROM rm m, rmv, gmr, kc)""",
-        *_mds_power_ctes("br", "e1", _MC_ITER),
-        """br2 AS MATERIALIZED (SELECT b2.j, list_transform(generate_series(1, kk), i ->
-            brow[i] - lam*u[b2.j + 1]*u[i]) AS brow
-       FROM br b2, e1ray, kc)""",
-        *_mds_power_ctes("br2", "e2", _MC_ITER),
-        """emb2 AS MATERIALIZED (SELECT gs.j,
-        sqrt(greatest(r1.lam, 0.0))*r1.u[gs.j + 1] AS e1,
-        sqrt(greatest(r2.lam, 0.0))*r2.u[gs.j + 1] AS e2
-       FROM (SELECT unnest(generate_series(0, kk - 1)) AS j FROM kc) gs,
-            e1ray r1, e2ray r2)""",
-        "nr AS MATERIALIZED (SELECT j, e1, e2, sqrt(e1*e1 + e2*e2) AS nrm FROM emb2)",
-        "org AS MATERIALIZED (SELECT e1 AS eo1, e2 AS eo2 FROM nr ORDER BY nrm DESC, j DESC LIMIT 1)",
-        """dor AS MATERIALIZED (SELECT j, sqrt((e1 - eo1)*(e1 - eo1) + (e2 - eo2)*(e2 - eo2)) AS dv
-       FROM nr, org)""",
-        "stz AS MATERIALIZED (SELECT list(dv ORDER BY j) AS dvs FROM dor)",
-        "st2 AS MATERIALIZED (SELECT dvs, list_reduce(dvs, (x, y) -> x + y)/kk AS mean FROM stz, kc)",
-        """st3 AS MATERIALIZED (SELECT dvs, mean,
-        sqrt(list_reduce(list_transform(dvs, x -> (x - mean)*(x - mean)), (a, b) -> a + b)/kk) AS sd
-       FROM st2, kc)""",
-        """dab AS MATERIALIZED (SELECT gs.j, round((dvs[gs.j + 1] - mean)/(sd + 1e-12), 6) + 0.0 AS dabs
-       FROM (SELECT unnest(generate_series(0, kk - 1)) AS j FROM kc) gs, st3)""",
-        """fx AS MATERIALIZED (SELECT b.event_id, dab.dabs AS x0, b.value AS x1
-       FROM b JOIN cats USING (event_type) JOIN dab ON dab.j = cats.ci)""",
-        """stm AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n,
-        CAST(sum(CAST(x0 AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       GROUP BY 1, 2)"""
+    _DP_MVDM = """dpm AS MATERIALIZED (SELECT p1.ci AS c1, p2.ci AS c2,
+        round(list_reduce(list(abs(p1.pv - p2.pv) ORDER BY p1.bin),
+          (x, y) -> x + y), 9) + 0.0 AS d
+       FROM p p1 JOIN p p2 ON p1.bin = p2.bin
+       GROUP BY 1, 2)"""
+
+    def _mc_score_sql(ctes: list[str], dab_cte: str) -> str:
+        tail = [
+            f"""fx AS MATERIALIZED (SELECT b.event_id, {dab_cte}.dabs AS x0, b.value AS x1
+       FROM b JOIN cats USING (event_type) JOIN {dab_cte} ON {dab_cte}.j = cats.ci)""",
+            """stm AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(x0 AS DECIMAL(18,8))) AS DOUBLE) AS sx,
         CAST(sum(CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-        CAST(sum(CAST(x0 AS DECIMAL(18,6))*CAST(x0 AS DECIMAL(18,6))) AS DOUBLE) AS sxx_r,
+        CAST(sum(CAST(x0 AS DECIMAL(18,8))*CAST(x0 AS DECIMAL(18,8))) AS DOUBLE) AS sxx_r,
         CAST(sum(CAST(x1 AS DECIMAL(18,4))*CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS syy_r,
-        CAST(sum(CAST(x0 AS DECIMAL(18,6))*CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS sxy_r
+        CAST(sum(CAST(x0 AS DECIMAL(18,8))*CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS sxy_r
        FROM fx)""",
-        """mo AS MATERIALIZED (SELECT sx/n AS mx, sy/n AS my,
+            """mo AS MATERIALIZED (SELECT sx/n AS mx, sy/n AS my,
         sxx_r/n - (sx/n)*(sx/n) AS sxx,
         syy_r/n - (sy/n)*(sy/n) AS syy,
         sxy_r/n - (sx/n)*(sy/n) AS sxy
        FROM stm)""",
+        ]
+        return (
+            "WITH " + ",\n".join(ctes + tail) + "\n"
+            "SELECT event_id, round((syy*(x0 - mx)*(x0 - mx) - 2*sxy*(x0 - mx)*(x1 - my)"
+            " + sxx*(x1 - my)*(x1 - my)) / (sxx*syy - sxy*sxy), 6) + 0.0 AS maha_cat\n"
+            "FROM fx CROSS JOIN mo"
+        )
+
+    o["mahalanobis_cat"] = _mc_score_sql(
+        _MC_HEAD + [_DP_ABDM] + _mds_chain_ctes("", "dp"), "dab"
+    )
+    o["mahalanobis_mvdm"] = _mc_score_sql(
+        _MC_HEAD + [_DP_MVDM] + _mds_chain_ctes("m", "dpm"), "mdab"
+    )
+    # abdm-mvdm: both chains, w-weighted combine + re-center
+    # (od/mahalanobis.py:160-184; w = 0.5, max/min are order-free exact)
+    _MC_COMBINE = [
+        """comb0 AS MATERIALIZED (SELECT a.j, a.dabs*0.5 + m.dabs*0.5 AS c
+       FROM dab a JOIN mdab m ON m.j = a.j)""",
+        "cstat AS MATERIALIZED (SELECT max(c) AS cmx, min(c) AS cmn FROM comb0)",
+        # 8dp, tie-free: the centered values are exact multiples of 2.5e-7 (ON
+        # 6dp/7dp half boundaries); see functions/abdm.combine_abdm_mvdm
+        "cdab AS MATERIALIZED (SELECT j, round(c - 0.5*(cmx + cmn), 8) + 0.0 AS dabs FROM comb0, cstat)",
     ]
-    o["mahalanobis_cat"] = (
-        "WITH " + ",\n".join(_mc_ctes) + "\n"
-        "SELECT event_id, round((syy*(x0 - mx)*(x0 - mx) - 2*sxy*(x0 - mx)*(x1 - my)"
-        " + sxx*(x1 - my)*(x1 - my)) / (sxx*syy - sxy*sxy), 6) + 0.0 AS maha_cat\n"
-        "FROM fx CROSS JOIN mo"
+    o["mahalanobis_abdm_mvdm"] = _mc_score_sql(
+        _MC_HEAD
+        + [_DP_ABDM, _DP_MVDM]
+        + _mds_chain_ctes("", "dp")
+        + _mds_chain_ctes("m", "dpm")
+        + _MC_COMBINE,
+        "cdab",
     )
 
     # sr_saliency (FFT), pca/gmm/kpca (eigendecomposition / EM),

@@ -164,3 +164,54 @@ def classical_mds_dabs(dpair: list[list[float]], n_iter: int = 16) -> list[float
     var = var / k
     std = math.sqrt(var)
     return [round((dorig[j] - mean) / (std + EPS), 6) + 0.0 for j in range(k)]
+
+
+def mvdm_dpair(cont: list[list[int]], counts: list[int], alpha: int = 1) -> list[list[float]]:
+    """MVDM pairwise category distances (``utils/distance.py:76-123``, Cost &
+    Salzberg 1993): L^alpha distance between the per-category conditional
+    label distributions. Same contingency input as :func:`abdm_dpair` —
+    ``cont[j][i]`` = count of label/bin ``i`` within category ``j`` (the
+    engine's declared label surrogate is the quartile bin of the numeric
+    feature). alpha=1 is the reference default; sequential fold + 9dp round
+    keep the SQL twin bit-identical."""
+    k = len(counts)
+    n_bins = len(cont[0]) if k else 0
+    p = [
+        [float(cont[j][i]) / (float(counts[j]) + EPS) for i in range(n_bins)]
+        for j in range(k)
+    ]
+    d = [[0.0] * k for _ in range(k)]
+    for j1 in range(k):
+        for j2 in range(k):
+            acc = 0.0
+            for i in range(n_bins):
+                acc = acc + abs(p[j1][i] - p[j2][i]) ** alpha
+            d[j1][j2] = round(acc, 9) + 0.0
+    return d
+
+
+def combine_abdm_mvdm(
+    dabs_abdm: list[float],
+    dabs_mvdm: list[float],
+    w: float = 0.5,
+    center: bool = True,
+) -> list[float]:
+    """The ``d_type='abdm-mvdm'`` weighted combination
+    (``od/mahalanobis.py:160-184``): ``v_abdm·w + v_mvdm·(1−w)`` over the two
+    standardized MDS embeddings, then (``center=True``) shift by
+    ``0.5·(max+min)`` of the combined values. Inputs are the 6dp-rounded
+    ``d_abs`` vectors both engines already share.
+
+    Rounded at 8dp, NOT 6: with w=0.5 the combined values are multiples of
+    5e-7 and the 0.5·(max+min) shift halves the grid again, so the centered
+    values are multiples of 2.5e-7 — sitting ON 6dp and 7dp half boundaries
+    where Python's half-even and SQL's half-away rounding diverge. On the
+    1e-8 grid they are tie-free (even multiples of 5e-9, ~1e-15 fp error vs
+    a 5e-9 tie distance), so both engines round identically."""
+    k = len(dabs_abdm)
+    comb = [dabs_abdm[j] * w + dabs_mvdm[j] * (1.0 - w) for j in range(k)]
+    if center:
+        mx = max(comb)
+        mn = min(comb)
+        comb = [c - 0.5 * (mx + mn) for c in comb]
+    return [round(c, 8) + 0.0 for c in comb]

@@ -1669,6 +1669,8 @@ def mahalanobis_cat_scores(
     value_col: str,
     id_col: str = "event_id",
     n_iter: int = 16,
+    d_type: str = "abdm",
+    w: float = 0.5,
 ):
     """Mahalanobis outlier scoring over MIXED categorical + numerical features
     — the ``cat_vars`` path of the legacy detector
@@ -1685,6 +1687,12 @@ def mahalanobis_cat_scores(
        population Mahalanobis (same exact-DECIMAL template as
        ``drift.mahalanobis_scores``).
 
+    ``d_type`` covers the reference's full surface (``od/mahalanobis.py:
+    104-108,150-184``): ``'abdm'`` (context KL), ``'mvdm'`` (conditional
+    label L1 — the declared label surrogate is the quartile bin), and
+    ``'abdm-mvdm'`` (the ``w``-weighted combination of the two standardized
+    MDS embeddings, re-centered).
+
     Scale shape: the contingency is ONE distributed groupBy over the full
     table (map-side partial counts, k rows out); percentile borders are one
     exact-percentile aggregate; everything category-sized (k×4 contingency,
@@ -1694,7 +1702,15 @@ def mahalanobis_cat_scores(
     driver and the corpus never shuffles."""
     from pyspark.sql import functions as F
 
-    from ..functions.abdm import abdm_dpair, classical_mds_dabs
+    from ..functions.abdm import (
+        abdm_dpair,
+        classical_mds_dabs,
+        combine_abdm_mvdm,
+        mvdm_dpair,
+    )
+
+    if d_type not in ("abdm", "mvdm", "abdm-mvdm"):
+        raise ValueError(f"unsupported d_type: {d_type!r}")
 
     # 1. micro-unit integer quartile borders (identical doubles both engines)
     qrow = (
@@ -1733,15 +1749,25 @@ def mahalanobis_cat_scores(
     counts = [int(r["n_c"]) for r in rows]
     cont = [[int(r[f"b{i}"]) for i in range(4)] for r in rows]
 
-    # 3. ABDM + classical-MDS + standardize (driver scalar chain)
-    dabs = classical_mds_dabs(abdm_dpair(cont, counts), n_iter=n_iter)
+    # 3. pairwise category distances + classical-MDS + standardize
+    #    (driver scalar chain, mirrored term-for-term by the SQL twin)
+    if d_type == "abdm":
+        dabs = classical_mds_dabs(abdm_dpair(cont, counts), n_iter=n_iter)
+    elif d_type == "mvdm":
+        dabs = classical_mds_dabs(mvdm_dpair(cont, counts), n_iter=n_iter)
+    else:
+        dabs = combine_abdm_mvdm(
+            classical_mds_dabs(abdm_dpair(cont, counts), n_iter=n_iter),
+            classical_mds_dabs(mvdm_dpair(cont, counts), n_iter=n_iter),
+            w=w,
+        )
 
     # 4. cat2num + exact-moment Mahalanobis
     mapping = F.when(F.col(cat_col) == F.lit(cats[0]), F.lit(dabs[0]))
     for cval, dval in zip(cats[1:], dabs[1:]):
         mapping = mapping.when(F.col(cat_col) == F.lit(cval), F.lit(dval))
     feat = df.select(id_col, mapping.alias("x0"), F.col(value_col).alias("x1"))
-    d0 = F.col("x0").cast("decimal(18,6)")
+    d0 = F.col("x0").cast("decimal(18,8)")
     d1 = F.col("x1").cast("decimal(18,4)")
     stats = feat.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

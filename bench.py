@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "fet_decisions_data",
     "lsdd_decisions",
     "mahalanobis_cat",
+    "mahalanobis_mvdm",
+    "mahalanobis_abdm_mvdm",
     "ssa_outlier_w4",
     "dedup_exact_prefix",
     "dedup_ngram_jaccard",

@@ -188,3 +188,48 @@ def test_ssa_w4_matches_numpy_power_method(spark):
     want = np.round((x - num / cnt) ** 2, 6)
     got = out["ssa4_score"].to_numpy()
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_mvdm_dpair_matches_reference_formula():
+    """Transcription check of utils/distance.py:76-123 (alpha=1)."""
+    rng = np.random.default_rng(17)
+    n, k, ny = 3000, 4, 4
+    X = rng.integers(0, k, n)
+    y = rng.integers(0, ny, n)
+    eps = 1e-12
+    p_cond = np.zeros([k, ny])
+    for i in range(k):
+        idx = np.where(X == i)[0]
+        for i_y in range(ny):
+            p_cond[i, i_y] = np.sum(y[idx] == i_y) / (y[idx].shape[0] + eps)
+    want = np.zeros([k, k])
+    for i in range(k):
+        for j in range(i):
+            want[i, j] = np.sum(np.abs(p_cond[i] - p_cond[j]))
+    want += want.T
+
+    from alibi_detect_spark.functions.abdm import mvdm_dpair
+
+    cont = [[int(((X == j) & (y == i)).sum()) for i in range(ny)] for j in range(k)]
+    counts = [int((X == j).sum()) for j in range(k)]
+    got = np.array(mvdm_dpair(cont, counts))
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_combine_abdm_mvdm_reference_semantics():
+    """od/mahalanobis.py:160-184: w-weighted combine then center by
+    0.5*(max+min) then 8dp tie-free rounding; w=1 (centered) reduces to the
+    recentered abdm vector."""
+    from alibi_detect_spark.functions.abdm import combine_abdm_mvdm
+
+    a = [1.0, -0.5, 0.25, 2.0]
+    m = [0.0, 1.0, -1.0, 0.5]
+    c = combine_abdm_mvdm(a, m, w=0.5)
+    raw = [x * 0.5 + y * 0.5 for x, y in zip(a, m)]
+    shift = 0.5 * (max(raw) + min(raw))
+    assert c == [round(x - shift, 8) + 0.0 for x in raw]
+    # centered output spans a symmetric range
+    assert abs(max(c) + min(c)) < 2e-6
+    only_a = combine_abdm_mvdm(a, m, w=1.0)
+    shift_a = 0.5 * (max(a) + min(a))
+    assert only_a == [round(x - shift_a, 8) + 0.0 for x in a]
