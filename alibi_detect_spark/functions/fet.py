@@ -70,10 +70,13 @@ def hypergeom_sf_ge(k: np.ndarray, m: int, n_success: np.ndarray, n_draw: int) -
         return acc
 
     # window sums take few distinct values on long streams — compute each
-    # distinct (k, K) pair once
-    pairs = np.stack([k.ravel(), n_success.ravel()], axis=1)
-    uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
-    vals = np.array([one(ki, Ki) for ki, Ki in uniq])
+    # distinct (k, K) pair once. Pairs are encoded as single ints so the
+    # dedup is a 1-D unique (np.unique(axis=0)'s row argsort dominated the
+    # threshold-table build at 199 fits); the decode feeds the identical
+    # per-pair computation, so outputs are bit-unchanged.
+    enc = k.ravel() * np.int64(m + 1) + n_success.ravel()
+    uenc, inverse = np.unique(enc, return_inverse=True)
+    vals = np.array([one(int(e // (m + 1)), int(e % (m + 1))) for e in uenc])
     return vals[inverse].reshape(k.shape)
 
 
