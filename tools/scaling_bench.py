@@ -72,7 +72,12 @@ def main() -> None:
     ap.add_argument("--rows-per-bucket", type=int, default=4096)
     ap.add_argument("--jobs-per-level", type=int, default=2,
                     help="independent JVM launches per cores level; per-stage min taken")
+    ap.add_argument("--levels", default="2,8",
+                    help="comma-separated N,4N core counts (both must stay "
+                    "inside the box's physical cores; see protocol note)")
     args = ap.parse_args()
+    levels = tuple(int(x) for x in args.levels.split(","))
+    assert len(levels) == 2 and levels[1] == 4 * levels[0], levels
 
     workdir = tempfile.mkdtemp(prefix="adspark_scale_")
     raw_path = args.raw_path or os.path.join(workdir, "raw")
@@ -119,7 +124,7 @@ def main() -> None:
         # capability (not a latency-SLO) benchmark. Both levels get the same
         # K over the same input, so the comparison stays symmetric.
         results = {}
-        for cores in (2, 8):
+        for cores in levels:
             stage_min: dict[str, float] = {}
             points = pages = 0
             for j in range(max(args.jobs_per_level, 1)):
@@ -138,17 +143,18 @@ def main() -> None:
                 "raw_rows_per_sec": round(args.rows / work_sec, 0),
             }
 
-        t8, t32 = results[2]["work_sec"], results[8]["work_sec"]
+        nlo, nhi = levels
+        t8, t32 = results[nlo]["work_sec"], results[nhi]["work_sec"]
         # metric phase per BASELINE.json: tier-1 rollup + Gorilla page encode
         # (the scan-bound, data-proportional work; the other stages are
         # fixed-size tier-table passes that a real cluster amortizes)
-        m8 = results[2]["stage_seconds"]["tier_1h"] + results[2]["stage_seconds"]["pages"]
-        m32 = results[8]["stage_seconds"]["tier_1h"] + results[8]["stage_seconds"]["pages"]
+        m8 = results[nlo]["stage_seconds"]["tier_1h"] + results[nlo]["stage_seconds"]["pages"]
+        m32 = results[nhi]["stage_seconds"]["tier_1h"] + results[nhi]["stage_seconds"]["pages"]
         report = {
             "rows": args.rows,
             "input": "pre-generated parquet token table (identical for both runs)",
-            "localN": {"cores": 2, **results[2]},
-            "local4N": {"cores": 8, **results[8]},
+            "localN": {"cores": nlo, **results[nlo]},
+            "local4N": {"cores": nhi, **results[nhi]},
             "speedup_N_to_4N_overall": round(t8 / t32, 3),
             "scaling_efficiency_overall": round((t8 / t32) / 4.0, 3),
             "speedup_N_to_4N_metric_phase": round(m8 / m32, 3),
