@@ -899,6 +899,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = media_features
 
+    # typed-metadata side of the multimodal model: relational JSON
+    # extraction (JVM-side get_json_object) + exact per-key statistics
+    def props_json_stats(s, sf):
+        from alibi_detect_spark.operators import multimodal
+
+        return multimodal.json_metadata_stats(
+            _t(s, sf, "events"), "props", "k", "event_type"
+        )
+
+    q["props_json_stats"] = props_json_stats
+
     # --- text analysis ----------------------------------------------------
     q["lang_id"] = lambda s, sf: textstats.lang_id(_t(s, sf, "documents"))
     q["quality_score"] = lambda s, sf: textstats.quality_score(_t(s, sf, "documents"))
@@ -971,7 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # new in round 5
         "fet_decisions_data", "mahalanobis_cat", "mahalanobis_mvdm",
-        "mahalanobis_abdm_mvdm", "ssa_outlier_w4",
+        "mahalanobis_abdm_mvdm", "ssa_outlier_w4", "props_json_stats",
         # no row since r1/r2 (the round-4 window exceptions) — rotated back
         # in so the salted-agg and codec invariants get a fresh driver row
         "token_rollup_1h_salted", "token_invariant", "pages_roundtrip",
@@ -989,17 +1000,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine", "contamination_check", "weighted_sample",
         "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_build", "lang_id",
         "quality_score", "token_counts", "fingerprint", "tpch_q1",
-        # rows-only with an r3 row, no r4 row — the first 2 fit the window
-        "lsdd_perm_test", "classifier_drift_lr",
+        # rows-only with an r3 row, no r4 row — the first fits the window
+        "lsdd_perm_test",
         # --- ~50-entry window edge ---
         # rows-only beyond the window: r3 rows + NumPy bit-match pytests +
-        # hash-green closed-form siblings (iforest_hash / pca_outlier_* /
-        # gmm_outlier_* / context_mmd_hash / svm's ocsvm_mean /
-        # lsdd_online_hash / mahalanobis_online_hash) carry their evidence;
-        # with 107 queries and ~50 slots per round these are the 7 entries
-        # that yield slots to the round-5 work
-        "context_mmd_drift", "svm_outlier", "iforest_outlier", "pca_outlier",
-        "gmm_outlier", "lsdd_online", "mahalanobis_online",
+        # hash-green closed-form siblings (classifier_drift_logit /
+        # iforest_hash / pca_outlier_* / gmm_outlier_* / context_mmd_hash /
+        # svm's ocsvm_mean / lsdd_online_hash / mahalanobis_online_hash)
+        # carry their evidence; with 108 queries and ~50 slots per round
+        # these are the 8 entries that yield slots to the round-5 work
+        "classifier_drift_lr", "context_mmd_drift", "svm_outlier",
+        "iforest_outlier", "pca_outlier", "gmm_outlier", "lsdd_online",
+        "mahalanobis_online",
     ]
     assert all(name in q for name in priority), sorted(set(priority) - set(q))
     ordered = {name: q[name] for name in priority}
@@ -4064,6 +4076,20 @@ SELECT vec_id, round(mean_lrd_ref / lrd_p, 6) AS lof_score FROM st
             " + sxx*(x1 - my)*(x1 - my)) / (sxx*syy - sxy*sxy), 6) + 0.0 AS maha_cat\n"
             "FROM fx CROSS JOIN mo"
         )
+
+    # JSON typed-metadata stats: DuckDB's ->> mirrors get_json_object;
+    # integer field -> exact sums; percentile midpoints are exact halves
+    o["props_json_stats"] = """
+WITH x AS (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS kv FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(kv) AS BIGINT) AS sum_k,
+       CAST(min(kv) AS BIGINT) AS min_k,
+       CAST(max(kv) AS BIGINT) AS max_k,
+       round(CAST(sum(kv) AS DOUBLE)/count(*), 6) AS avg_k,
+       CAST(round(quantile_cont(kv, 0.5)) AS BIGINT) AS p50_k
+FROM x GROUP BY 1
+"""
 
     o["mahalanobis_cat"] = _mc_score_sql(
         _MC_HEAD + [_DP_ABDM] + _mds_chain_ctes("", "dp"), "dab"

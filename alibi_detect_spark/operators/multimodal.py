@@ -255,3 +255,34 @@ def media_stats(media: DataFrame) -> DataFrame:
             F.max("nbytes").alias("max_bytes"),
         )
     )
+
+
+def json_metadata_stats(
+    df: DataFrame,
+    json_col: str,
+    field: str,
+    key: str,
+) -> DataFrame:
+    """Typed-metadata extraction from a semi-structured JSON column + per-key
+    statistics — the metadata side of the multimodal data model (opaque
+    payloads carry typed JSON sidecars; here the extraction is relational and
+    never touches a payload).
+
+    Spark-first shape: ``get_json_object`` runs JVM-side inside whole-stage
+    codegen (no Python), the aggregate is one partial+final groupBy with
+    exact integer sums, and the median uses the exact-``percentile``
+    micro-unit recipe (integer inputs make interpolation midpoints exact
+    halves both engines round identically)."""
+    k = F.get_json_object(F.col(json_col), f"$.{field}").cast("long")
+    return (
+        df.select(F.col(key), k.alias("kv"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("kv").cast("long").alias("sum_k"),
+            F.min("kv").cast("long").alias("min_k"),
+            F.max("kv").cast("long").alias("max_k"),
+            F.round(F.sum("kv").cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+            F.round(F.expr("percentile(kv, 0.5)")).cast("long").alias("p50_k"),
+        )
+    )

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "contamination_check",
     "weighted_sample",
     "media_features",
+    "props_json_stats",
     "ae_outlier",
     "ann_cosine_topk",
     "ann_ivf_topk",
