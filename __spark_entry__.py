@@ -929,6 +929,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pca_outlier_emb"] = lambda s, sf: outlier.pca_outlier_emb(
         _t(s, sf, "embeddings")
     )
+    # rank-4 principal SUBSPACE at d=64 (power + deflation) — the
+    # oracle-checkable instance of the multi-component _pca.py contract
+    q["pca_outlier_sub"] = lambda s, sf: outlier.pca_outlier_sub_emb(
+        _t(s, sf, "embeddings")
+    )
+    # OutlierAE at d=64 with the reference outlier_perc top-feature-error
+    # aggregation (od/ae.py:181-208) over the rank-4 linear-AE recon
+    q["ae_outlier_emb"] = lambda s, sf: outlier.ae_outlier_emb(
+        _t(s, sf, "embeddings")
+    )
     # quantized-EM GMM at the same width
     q["gmm_outlier_emb"] = lambda s, sf: outlier.gmm_outlier_emb(
         _t(s, sf, "embeddings")
@@ -983,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5
         "fet_decisions_data", "mahalanobis_cat", "mahalanobis_mvdm",
         "mahalanobis_abdm_mvdm", "ssa_outlier_w4", "props_json_stats",
+        "pca_outlier_sub", "ae_outlier_emb",
         # no row since r1/r2 (the round-4 window exceptions) — rotated back
         # in so the salted-agg and codec invariants get a fresh driver row
         "token_rollup_1h_salted", "token_invariant", "pages_roundtrip",
@@ -1000,18 +1011,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine", "contamination_check", "weighted_sample",
         "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_build", "lang_id",
         "quality_score", "token_counts", "fingerprint", "tpch_q1",
-        # rows-only with an r3 row, no r4 row — the first fits the window
-        "lsdd_perm_test",
         # --- ~50-entry window edge ---
         # rows-only beyond the window: r3 rows + NumPy bit-match pytests +
-        # hash-green closed-form siblings (classifier_drift_logit /
-        # iforest_hash / pca_outlier_* / gmm_outlier_* / context_mmd_hash /
-        # svm's ocsvm_mean / lsdd_online_hash / mahalanobis_online_hash)
-        # carry their evidence; with 108 queries and ~50 slots per round
-        # these are the 8 entries that yield slots to the round-5 work
-        "classifier_drift_lr", "context_mmd_drift", "svm_outlier",
-        "iforest_outlier", "pca_outlier", "gmm_outlier", "lsdd_online",
-        "mahalanobis_online",
+        # hash-green closed-form siblings (lsdd_perm_hash /
+        # classifier_drift_logit / iforest_hash / pca_outlier_* /
+        # gmm_outlier_* / context_mmd_hash / svm's ocsvm_mean /
+        # lsdd_online_hash / mahalanobis_online_hash) carry their evidence;
+        # with 110 queries and ~50 slots per round these are the 9 entries
+        # that yield slots to the round-5 work
+        "lsdd_perm_test", "classifier_drift_lr", "context_mmd_drift",
+        "svm_outlier", "iforest_outlier", "pca_outlier", "gmm_outlier",
+        "lsdd_online", "mahalanobis_online",
     ]
     assert all(name in q for name in priority), sorted(set(priority) - set(q))
     ordered = {name: q[name] for name in priority}
@@ -2818,6 +2828,105 @@ SELECT vec_id, round(tot - proj*proj, 6) + 0.0 AS pca_resid FROM sc
             f"FROM w{_t})"
         )
     o["pca_outlier_emb"] = o["pca_outlier_emb"].replace("{ITER}", ",\n".join(_pe_iters) + ",")
+
+    # rank-4 eigenbasis at d=64: power method + Rayleigh + rank-1 deflation,
+    # mirroring outlier._emb_top_eigvecs (functions/abdm.power_top/deflate).
+    # Shared CTE program feeding BOTH pca_outlier_sub and ae_outlier_emb.
+    def _emb_eig4_ctes(n_comp: int = 4, n_iter: int = 8) -> str:
+        mv = (
+            "list_transform(generate_series(1, 64), j -> "
+            "list_reduce(list_transform(generate_series(1, 64), "
+            "k -> {c}[j][k]*{v}[k]), (a, b) -> a + b))"
+        )
+        head = """base AS MATERIALIZED (SELECT vec_id, embedding AS v FROM embeddings),
+ex AS MATERIALIZED (SELECT vec_id, j,
+              CAST(round(CAST(v[CAST(j AS INTEGER) + 1] AS DOUBLE)*1000000) AS BIGINT) AS xq
+       FROM base, generate_series(0, 63) AS t(j)),
+cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+m1 AS MATERIALIZED (SELECT j, CAST(sum(xq) AS DOUBLE) AS s FROM ex GROUP BY 1),
+m2 AS MATERIALIZED (SELECT a.j AS j, b.j AS k, CAST(sum(a.xq*b.xq) AS DOUBLE) AS s
+       FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.j >= a.j GROUP BY 1, 2),
+mu AS MATERIALIZED (SELECT list(s / (n*1000000.0) ORDER BY j) AS mu FROM m1 CROSS JOIN cnt),
+cfull AS MATERIALIZED (SELECT j, k, s FROM m2 UNION ALL SELECT k AS j, j AS k, s FROM m2 WHERE j <> k),
+crow AS MATERIALIZED (SELECT cfull.j AS j,
+                list(s/(n*1000000.0*1000000.0) - mu[cfull.j + 1]*mu[k + 1] ORDER BY k) AS row
+         FROM cfull CROSS JOIN mu CROSS JOIN cnt GROUP BY 1),
+cm1 AS MATERIALIZED (SELECT list(row ORDER BY j) AS c1 FROM crow)"""
+        ctes = [head]
+        for comp in range(1, n_comp + 1):
+            cn = f"c{comp}"
+            prev_us = ", ".join(f"u{i}" for i in range(1, comp))
+            carry = f"{cn}, mu" + (f", {prev_us}" if prev_us else "")
+            src = "cm1 CROSS JOIN mu" if comp == 1 else f"e{comp - 1}d"
+            ctes.append(
+                f"e{comp}p0 AS MATERIALIZED (SELECT {carry}, "
+                "list_concat([1.0], list_transform(generate_series(1, 63), x -> 0.0)) AS v "
+                f"FROM {src})"
+            )
+            for t in range(1, n_iter + 1):
+                ctes.append(
+                    f"e{comp}w{t} AS MATERIALIZED (SELECT {carry}, "
+                    + mv.format(c=cn, v="v")
+                    + f" AS w FROM e{comp}p{t - 1})"
+                )
+                ctes.append(
+                    f"e{comp}p{t} AS MATERIALIZED (SELECT {carry}, list_transform(w, "
+                    "x -> x / sqrt(list_reduce(list_transform(w, y -> y*y), (a, b) -> a + b))) AS v "
+                    f"FROM e{comp}w{t})"
+                )
+            ctes.append(
+                f"e{comp}f AS MATERIALIZED (SELECT {carry}, v AS u{comp}, "
+                + mv.format(c=cn, v="v")
+                + f" AS w FROM e{comp}p{n_iter})"
+            )
+            if comp < n_comp:
+                us = ", ".join(f"u{i}" for i in range(1, comp + 1))
+                ctes.append(
+                    f"e{comp}d AS MATERIALIZED (SELECT mu, {us}, "
+                    "list_transform(generate_series(1, 64), j -> "
+                    "list_transform(generate_series(1, 64), k -> "
+                    f"{cn}[j][k] - lam*u{comp}[j]*u{comp}[k])) AS c{comp + 1} "
+                    f"FROM (SELECT *, list_reduce(list_transform(generate_series(1, 64), "
+                    f"i -> u{comp}[i]*w[i]), (a, b) -> a + b) AS lam FROM e{comp}f))"
+                )
+        us = ", ".join(f"u{i}" for i in range(1, n_comp + 1))
+        ctes.append(f"eig AS MATERIALIZED (SELECT mu, {us} FROM e{n_comp}f)")
+        return ",\n".join(ctes)
+
+    _EIG4 = _emb_eig4_ctes()
+    _fold = (
+        "list_reduce(list_transform(generate_series(1, 64), i -> {expr}), (a, b) -> a + b)"
+    )
+    o["pca_outlier_sub"] = (
+        "WITH " + _EIG4 + ",\n"
+        "sc AS (SELECT vec_id,\n"
+        + "  " + _fold.format(expr="(CAST(v[i] AS DOUBLE) - mu[i])*(CAST(v[i] AS DOUBLE) - mu[i])") + " AS tot,\n"
+        + ",\n".join(
+            "  " + _fold.format(expr=f"(CAST(v[i] AS DOUBLE) - mu[i])*u{c}[i]") + f" AS q{c}"
+            for c in range(1, 5)
+        )
+        + "\n  FROM base CROSS JOIN eig)\n"
+        "SELECT vec_id, round(tot - q1*q1 - q2*q2 - q3*q3 - q4*q4, 6) + 0.0 AS pca_sub_resid FROM sc"
+    )
+    o["ae_outlier_emb"] = (
+        "WITH " + _EIG4 + ",\n"
+        "sc0 AS (SELECT vec_id, list_transform(generate_series(1, 64), "
+        "i -> CAST(v[i] AS DOUBLE) - mu[i]) AS cl, u1, u2, u3, u4 "
+        "FROM base CROSS JOIN eig),\n"
+        "sc1 AS (SELECT vec_id, cl, u1, u2, u3, u4,\n"
+        + ",\n".join(
+            "  list_reduce(list_transform(generate_series(1, 64), "
+            f"i -> cl[i]*u{c}[i]), (a, b) -> a + b) AS q{c}"
+            for c in range(1, 5)
+        )
+        + "\n  FROM sc0),\n"
+        "sc2 AS (SELECT vec_id, list_transform(generate_series(1, 64), i -> "
+        "(cl[i] - ((u1[i]*q1 + u2[i]*q2) + (u3[i]*q3 + u4[i]*q4)))"
+        "*(cl[i] - ((u1[i]*q1 + u2[i]*q2) + (u3[i]*q3 + u4[i]*q4)))) AS err FROM sc1),\n"
+        "sc3 AS (SELECT vec_id, list_sort(err, 'DESC') AS es FROM sc2)\n"
+        "SELECT vec_id, round(list_reduce(es[1:32], (a, b) -> a + b)/32.0, 6) + 0.0 "
+        "AS ae_emb_score FROM sc3"
+    )
 
 
 

@@ -215,3 +215,15 @@ def combine_abdm_mvdm(
         mn = min(comb)
         comb = [c - 0.5 * (mx + mn) for c in comb]
     return [round(c, 8) + 0.0 for c in comb]
+
+
+# public alias: the fixed-iteration power method is reused by the
+# multi-component embedding-width PCA/AE closed forms (operators/outlier.py)
+power_top = _power_top
+
+
+def deflate(bmat: list[list[float]], u: list[float], lam: float) -> list[list[float]]:
+    """Rank-1 deflation ``B − λ·u·uᵀ`` with the exact association the SQL
+    twins mirror (``b - lam*u[j]*u[i]``)."""
+    k = len(bmat)
+    return [[bmat[j][i] - lam * u[j] * u[i] for i in range(k)] for j in range(k)]

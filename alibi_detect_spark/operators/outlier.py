@@ -398,6 +398,51 @@ def pca_outlier_dfeat(
     )
 
 
+def _emb_quant_moments(emb, vec_col: str, d: int, quant: int):
+    """ONE Arrow pass of per-batch partial integer sums of the quantized
+    embedding components (Σ xq_j, Σ xq_j·xq_k; d(d+1)/2-row relation per
+    batch, int64-safe per batch, exact DECIMAL total) → the (n, μ, Σ) fit
+    moments on the driver. The 100 TB shape shared by every emb-width
+    closed form (see :func:`pca_outlier_emb` docstring)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def moments_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * float(quant)
+            xq = np.where(x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)).astype(np.int64)
+            s1 = xq.sum(axis=0)
+            s2 = xq.T @ xq  # [d, d] int64 — safe per Arrow batch
+            rows = {"j": [], "k": [], "v": []}
+            rows["j"].append(-1); rows["k"].append(-1); rows["v"].append(len(xq))
+            for j in range(d):
+                rows["j"].append(j); rows["k"].append(-1); rows["v"].append(int(s1[j]))
+                for k in range(j, d):
+                    rows["j"].append(j); rows["k"].append(k); rows["v"].append(int(s2[j, k]))
+            yield pd.DataFrame(rows)
+
+    mom = (
+        emb.select(vec_col)
+        .mapInPandas(moments_fn, schema="j int, k int, v long")
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).cast("double").alias("s"))
+        .collect()
+    )
+    s = {(int(r["j"]), int(r["k"])): r["s"] for r in mom}
+    n = s[(-1, -1)]
+    q = float(quant)
+    mu = [s[(j, -1)] / (n * q) for j in range(d)]
+    cmat = [[0.0] * d for _ in range(d)]
+    for j in range(d):
+        for k in range(j, d):
+            cjk = s[(j, k)] / (n * q * q) - mu[j] * mu[k]
+            cmat[j][k] = cmat[k][j] = cjk
+    return n, mu, cmat
+
+
 def pca_outlier_emb(
     emb,
     id_col: str = "vec_id",
@@ -1791,3 +1836,118 @@ def mahalanobis_cat_scores(
         F.col("syy") * dx * dx - 2 * F.col("sxy") * dx * dy + F.col("sxx") * dy * dy
     ) / det
     return j.select(id_col, (F.round(score, 6) + F.lit(0.0)).alias("maha_cat"))
+
+
+def _emb_top_eigvecs(cmat, n_comp: int, n_iter: int):
+    """Leading eigenpairs of a small dense covariance via fixed-iteration
+    power method + rank-1 deflation (functions/abdm.power_top — the same
+    sequential-fold scalar chains the SQL twins mirror)."""
+    from ..functions.abdm import deflate, power_top
+
+    vs, b = [], cmat
+    for _ in range(n_comp):
+        u, lam = power_top(b, n_iter)
+        vs.append(u)
+        b = deflate(b, u, lam)
+    return vs
+
+
+def pca_outlier_sub_emb(
+    emb,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_comp: int = 4,
+    n_iter: int = 8,
+    quant: int = 1_000_000,
+):
+    """Linear-PCA outlier score with a RANK-``n_comp`` principal SUBSPACE at
+    the real embedding width — the oracle-checkable instance of
+    ``alibi_detect/od/_pca.py:20-208`` (fit = covariance eigenbasis, drop
+    the top ``n_components`` eigenvectors, score = squared residual off the
+    principal subspace; the full-eigendecomposition variant stays in
+    :func:`pca_outlier_scores`, rows-only). Same one-Arrow-pass exact
+    moments as :func:`pca_outlier_emb`; the extra eigenvectors come from
+    fixed-iteration power + rank-1 deflation on the driver; scoring
+    subtracts each component's squared projection in sequence (all
+    ``F.aggregate`` sequential folds ≡ ``list_reduce``)."""
+    from pyspark.sql import functions as F
+
+    _, mu, cmat = _emb_quant_moments(emb, vec_col, dim, quant)
+    vs = _emb_top_eigvecs(cmat, n_comp, n_iter)
+
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = F.zip_with(xd, mu_arr, lambda a, b: a - b)
+    tot = F.aggregate(
+        F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+    )
+    score = tot
+    for v in vs:
+        v_arr = F.array(*[F.lit(x) for x in v])
+        p = F.aggregate(
+            F.zip_with(c, v_arr, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+        )
+        score = score - p * p
+    return emb.select(
+        id_col, (F.round(score, 6) + F.lit(0.0)).alias("pca_sub_resid")
+    )
+
+
+def ae_outlier_emb(
+    emb,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_comp: int = 4,
+    n_iter: int = 8,
+    quant: int = 1_000_000,
+    outlier_perc: float = 50.0,
+):
+    """OutlierAE at the real embedding width with the reference's
+    ``outlier_perc`` instance aggregation (``od/ae.py:181-208``: per-feature
+    reconstruction errors, instance score = mean of the top
+    ``ceil(perc% · d)`` feature errors). The encoder/decoder optimum is the
+    rank-``n_comp`` PCA reconstruction (linear-AE closed form, declared
+    analog — SURVEY §8 ledger); the top-error selection is a pure SORT of
+    identical doubles, so both engines pick the same features and the
+    sequential-fold mean hash-matches."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    if n_comp != 4:
+        raise ValueError("the mirrored pairwise recon grouping is fixed at n_comp=4")
+    _, mu, cmat = _emb_quant_moments(emb, vec_col, dim, quant)
+    vs = _emb_top_eigvecs(cmat, n_comp, n_iter)
+    n_top = int(math.ceil(0.01 * outlier_perc * dim))
+
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = F.zip_with(xd, mu_arr, lambda a, b: a - b)
+    projs = []
+    v_arrs = []
+    for v in vs:
+        v_arr = F.array(*[F.lit(x) for x in v])
+        v_arrs.append(v_arr)
+        projs.append(
+            F.aggregate(
+                F.zip_with(c, v_arr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+    # recon_j − μ_j = (v1[j]·p1 + v2[j]·p2) + (v3[j]·p3 + v4[j]·p4) —
+    # pairwise grouping mirrored verbatim by the SQL twin
+    p1, p2, p3, p4 = projs
+    r12 = F.zip_with(v_arrs[0], v_arrs[1], lambda a, b: a * p1 + b * p2)
+    r34 = F.zip_with(v_arrs[2], v_arrs[3], lambda a, b: a * p3 + b * p4)
+    rec = F.zip_with(r12, r34, lambda a, b: a + b)
+    err = F.zip_with(c, rec, lambda a, b: (a - b) * (a - b))
+    top = F.slice(F.sort_array(err, asc=False), 1, n_top)
+    score = (
+        F.aggregate(top, F.lit(0.0), lambda acc, t: acc + t) / F.lit(float(n_top))
+    )
+    return emb.select(
+        id_col, (F.round(score, 6) + F.lit(0.0)).alias("ae_emb_score")
+    )

@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "gmm_outlier_4d",
     "pca_outlier_4d",
     "pca_outlier_emb",
+    "pca_outlier_sub",
+    "ae_outlier_emb",
     "gmm_outlier_emb",
     "ocsvm_emb",
     "iforest_emb",

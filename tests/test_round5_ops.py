@@ -233,3 +233,50 @@ def test_combine_abdm_mvdm_reference_semantics():
     only_a = combine_abdm_mvdm(a, m, w=1.0)
     shift_a = 0.5 * (max(a) + min(a))
     assert only_a == [round(x - shift_a, 8) + 0.0 for x in a]
+
+
+@pytest.mark.usefixtures("spark")
+def test_pca_sub_and_ae_emb_match_numpy_eigendecomposition(spark):
+    """Rank-4 subspace residual and AE top-error score vs a straight NumPy
+    eigendecomposition of the same quantized covariance (power+deflation
+    converges to the true leading eigenbasis on a spectrum with gaps)."""
+    import pandas as pd
+
+    from alibi_detect_spark.operators.outlier import (
+        ae_outlier_emb,
+        pca_outlier_sub_emb,
+    )
+
+    rng = np.random.default_rng(21)
+    n, d = 400, 64
+    # anisotropic data: 4 dominant directions with distinct variances
+    basis = np.linalg.qr(rng.standard_normal((d, d)))[0]
+    scales = np.concatenate([[8.0, 6.0, 4.5, 3.0], np.full(d - 4, 0.3)])
+    x = (rng.standard_normal((n, d)) * scales) @ basis.T
+    x = np.round(x, 6)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": list(x.astype(np.float32))})
+    )
+    sub = pca_outlier_sub_emb(df, n_iter=40).toPandas().sort_values("vec_id")
+    ae = ae_outlier_emb(df, n_iter=40).toPandas().sort_values("vec_id")
+
+    xq = np.round(x.astype(np.float32).astype(np.float64) * 1e6) / 1e6
+    mu = xq.mean(axis=0)
+    c = xq - mu
+    cov = c.T @ c / n
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, ::-1][:, :4]
+    proj = c @ top
+    want_sub = (c * c).sum(axis=1) - (proj * proj).sum(axis=1)
+    assert np.allclose(sub["pca_sub_resid"].to_numpy(), want_sub, atol=1e-3)
+
+    rec = proj @ top.T
+    err = (c - rec) ** 2
+    topk = np.sort(err, axis=1)[:, -32:]
+    assert np.allclose(ae["ae_emb_score"].to_numpy(), topk.mean(axis=1), atol=1e-4)
+
+    # rank-4 residual is never larger than rank-1 (more variance explained)
+    from alibi_detect_spark.operators.outlier import pca_outlier_emb
+
+    r1 = pca_outlier_emb(df, n_iter=40).toPandas().sort_values("vec_id")
+    assert (sub["pca_sub_resid"].to_numpy() <= r1["pca_resid"].to_numpy() + 1e-6).all()
