@@ -1010,16 +1010,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash_pairs",
         "dedup_embedding_cosine", "contamination_check", "weighted_sample",
         "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_build", "lang_id",
-        "quality_score", "token_counts", "fingerprint", "tpch_q1",
+        "quality_score", "token_counts", "fingerprint",
         # --- ~50-entry window edge ---
         # rows-only beyond the window: r3 rows + NumPy bit-match pytests +
         # hash-green closed-form siblings (lsdd_perm_hash /
         # classifier_drift_logit / iforest_hash / pca_outlier_* /
         # gmm_outlier_* / context_mmd_hash / svm's ocsvm_mean /
         # lsdd_online_hash / mahalanobis_online_hash) carry their evidence;
-        # with 110 queries and ~50 slots per round these are the 9 entries
-        # that yield slots to the round-5 work
-        "lsdd_perm_test", "classifier_drift_lr", "context_mmd_drift",
+        # with 110 queries and ~50 slots per round these are the 10 entries
+        # that yield slots to the round-5 work (tpch_q1 is additionally
+        # executed by test_cheap_queries_execute on every pytest run)
+        "tpch_q1", "lsdd_perm_test", "classifier_drift_lr", "context_mmd_drift",
         "svm_outlier", "iforest_outlier", "pca_outlier", "gmm_outlier",
         "lsdd_online", "mahalanobis_online",
     ]
