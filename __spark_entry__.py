@@ -495,6 +495,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("value", "u"),
         "event_id",
     )
+    # 4-landmark Nyström kPCA: power-method subspace over the wider
+    # feature map (kpca at the dfeat recipe)
+    q["kpca_outlier_4c"] = lambda s, sf: outlier.kpca_outlier_4land(
+        _t(s, sf, "events").withColumn("u", (F.col("user_id") % 100).cast("double")),
+        ("value", "u"),
+        "event_id",
+    )
     q["kpca_outlier"] = lambda s, sf: outlier.kernel_pca_outlier_scores(
         _t(s, sf, "embeddings"), F.col("vec_id") % 5 == 0, n_components=4
     )
@@ -993,7 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5
         "fet_decisions_data", "mahalanobis_cat", "mahalanobis_mvdm",
         "mahalanobis_abdm_mvdm", "ssa_outlier_w4", "props_json_stats",
-        "pca_outlier_sub", "ae_outlier_emb",
+        "pca_outlier_sub", "ae_outlier_emb", "kpca_outlier_4c",
         # no row since r1/r2 (the round-4 window exceptions) — rotated back
         # in so the salted-agg and codec invariants get a fresh driver row
         "token_rollup_1h_salted", "token_invariant", "pages_roundtrip",
@@ -1010,17 +1017,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash_pairs",
         "dedup_embedding_cosine", "contamination_check", "weighted_sample",
         "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_build", "lang_id",
-        "quality_score", "token_counts", "fingerprint",
+        "quality_score", "token_counts",
         # --- ~50-entry window edge ---
         # rows-only beyond the window: r3 rows + NumPy bit-match pytests +
         # hash-green closed-form siblings (lsdd_perm_hash /
         # classifier_drift_logit / iforest_hash / pca_outlier_* /
         # gmm_outlier_* / context_mmd_hash / svm's ocsvm_mean /
         # lsdd_online_hash / mahalanobis_online_hash) carry their evidence;
-        # with 110 queries and ~50 slots per round these are the 10 entries
+        # with 111 queries and ~50 slots per round these are the 11 entries
         # that yield slots to the round-5 work (tpch_q1 is additionally
-        # executed by test_cheap_queries_execute on every pytest run)
-        "tpch_q1", "lsdd_perm_test", "classifier_drift_lr", "context_mmd_drift",
+        # executed by test_cheap_queries_execute on every pytest run;
+        # fingerprint is r3-green with direct pytest coverage)
+        "fingerprint", "tpch_q1", "lsdd_perm_test", "classifier_drift_lr",
+        "context_mmd_drift",
         "svm_outlier", "iforest_outlier", "pca_outlier", "gmm_outlier",
         "lsdd_online", "mahalanobis_online",
     ]
@@ -2619,6 +2628,38 @@ SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3
         )
 
     o["pca_outlier_4d"] = _pcad_oracle(_GMM4_BASE, ["a", "b", "c", "d"])
+
+    # 4-landmark Nyström kPCA: md5-priority landmarks + Σ-var bandwidth
+    # (the kpca_outlier_2c construction at 4 landmarks) feeding the same
+    # power-method chain; features rounded by the DECIMAL(18,4) moment casts
+    _kp4_land = ",\n                ".join(
+        f"max(CASE WHEN rn={i} THEN {c} END) AS l{i}{c}"
+        for i in range(1, 5)
+        for c in ("v", "u")
+    )
+    _kp4_feats = ",\n         ".join(
+        f"exp(-((v - l{i}v)*(v - l{i}v) + (u - l{i}u)*(u - l{i}u))/(2.0*s2)) AS f{i}"
+        for i in range(1, 5)
+    )
+    _KP4_INNER = f"""WITH kb AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
+                   CAST(user_id % 100 AS DOUBLE) AS u FROM events),
+fl AS (SELECT v, u, row_number() OVER (ORDER BY md5('kpca4:'||CAST(event_id AS VARCHAR)), event_id) AS rn
+       FROM (SELECT * FROM kb ORDER BY md5('kpca4:'||CAST(event_id AS VARCHAR)), event_id LIMIT 4)),
+land AS (SELECT {_kp4_land} FROM fl),
+gsb AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+        CAST(sum(CAST(v AS DECIMAL(18,4))*CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS svv,
+        CAST(sum(CAST(u AS DECIMAL(18,4))) AS DOUBLE) AS su,
+        CAST(sum(CAST(u AS DECIMAL(18,4))*CAST(u AS DECIMAL(18,4))) AS DOUBLE) AS suu
+        FROM kb),
+gsv AS (SELECT (svv/n - (sv/n)*(sv/n)) + (suu/n - (su/n)*(su/n)) + 1e-9 AS s2 FROM gsb),
+feat AS (SELECT event_id,
+         {_kp4_feats}
+         FROM kb CROSS JOIN land CROSS JOIN gsv)
+SELECT event_id, f1 AS a, f2 AS b, f3 AS c, f4 AS d FROM feat"""
+    o["kpca_outlier_4c"] = _pcad_oracle(
+        f"base AS (SELECT * FROM ({_KP4_INNER}) t)", ["a", "b", "c", "d"]
+    ).replace("AS pca_resid", "AS kpca4_resid")
 
     # GMM at the full embedding width (d=64): list-based twin of
     # outlier.gmm_outlier_emb — sequential index folds for the log-densities,

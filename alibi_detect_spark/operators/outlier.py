@@ -1951,3 +1951,65 @@ def ae_outlier_emb(
     return emb.select(
         id_col, (F.round(score, 6) + F.lit(0.0)).alias("ae_emb_score")
     )
+
+
+def kpca_outlier_4land(
+    df,
+    cols: tuple[str, str],
+    id_col: str,
+    var_eps: float = 1e-9,
+    n_iter: int = 8,
+):
+    """Kernel-PCA outlier score with a 4-LANDMARK Nyström feature map — the
+    wider hash-checkable kPCA instance (``od/pytorch/pca.py:173-268``;
+    :func:`kpca_outlier_2land` is the closed-form 2-landmark case, the d-dim
+    seeded variant stays rows-only). φ(x) = [k(x, l₁..l₄)] with
+    deterministic md5-priority landmarks and the Σ-var bandwidth; the
+    off-manifold score is :func:`pca_outlier_dfeat`'s fixed-iteration power
+    method over the 4-dim feature space — exact DECIMAL feature moments,
+    broadcast parameter relations, no UDF."""
+    from pyspark.sql import Window, functions as F
+
+    x, y = cols
+    base = df.select(
+        F.col(id_col),
+        F.col(x).cast("double").alias("v"),
+        F.col(y).cast("double").alias("u"),
+    )
+    pr = F.md5(F.concat(F.lit("kpca4:"), F.col(id_col).cast("string")))
+    four = base.withColumn("pr", pr).orderBy("pr", id_col).limit(4)
+    wv = Window.orderBy("pr", id_col)
+    land = four.withColumn("rn", F.row_number().over(wv)).agg(
+        *[
+            F.max(F.when(F.col("rn") == i, F.col(c))).alias(f"l{i}{c}")
+            for i in range(1, 5)
+            for c in ("v", "u")
+        ]
+    )
+    dv = F.col("v").cast("decimal(18,4)")
+    du = F.col("u").cast("decimal(18,4)")
+    gs = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dv).cast("double").alias("sv"),
+        F.sum(dv * dv).cast("double").alias("svv"),
+        F.sum(du).cast("double").alias("su"),
+        F.sum(du * du).cast("double").alias("suu"),
+    ).select(
+        (
+            (F.col("svv") / F.col("n") - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n")))
+            + (F.col("suu") / F.col("n") - (F.col("su") / F.col("n")) * (F.col("su") / F.col("n")))
+            + F.lit(var_eps)
+        ).alias("s2")
+    )
+    j = base.crossJoin(F.broadcast(land)).crossJoin(F.broadcast(gs))
+    kern = lambda i: F.exp(  # noqa: E731
+        -(
+            (F.col("v") - F.col(f"l{i}v")) * (F.col("v") - F.col(f"l{i}v"))
+            + (F.col("u") - F.col(f"l{i}u")) * (F.col("u") - F.col(f"l{i}u"))
+        )
+        / (F.lit(2.0) * F.col("s2"))
+    )
+    feats = j.select(id_col, *[kern(i).alias(f"f{i}") for i in range(1, 5)])
+    return pca_outlier_dfeat(
+        feats, ("f1", "f2", "f3", "f4"), id_col, n_iter
+    ).withColumnRenamed("pca_resid", "kpca4_resid")

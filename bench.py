@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "vae_outlier_2d",
     "ae_outlier_2d",
     "kpca_outlier_2c",
+    "kpca_outlier_4c",
     "ocsvm_mean",
     "iforest_hash",
     "spot_the_diff_2d",
