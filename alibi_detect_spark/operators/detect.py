@@ -897,6 +897,41 @@ def ssa_power_layers(w: int, n_iter: int) -> list[list[tuple[str, str]]]:
     return groups
 
 
+def ssa_wfeat_par(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    w: int = 4,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Per-key SSA eigenvector relation ``(key, v0..v{w-1})`` — the FIT half
+    of :func:`ssa_outlier_wfeat_over` (lag-``w`` uncentered Gram from exact
+    DECIMAL moments + shared power-method layers). Split out so the
+    streaming twin can collect the SAME JVM-computed doubles into its
+    closure (fit-then-stream lifecycle, ``cd/base_online.py``)."""
+    from pyspark.sql import Window
+
+    w0 = Window.partitionBy(key).orderBy(order_col)
+    base = df.select(
+        F.col(key), F.col(order_col), F.col(value).cast("double").alias("x0")
+    )
+    for i in range(1, w):
+        base = base.withColumn(f"x{i}", F.lead("x0", i).over(w0))
+    full = base.where(F.col(f"x{w - 1}").isNotNull())
+    dec = [F.col(f"x{i}").cast("decimal(18,6)") for i in range(w)]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i in range(w):
+        for jj in range(i, w):
+            aggs.append(F.sum(dec[i] * dec[jj]).cast("double").alias(f"s{i}{jj}"))
+    mo = full.groupBy(key).agg(*aggs).selectExpr(
+        key, *[f"s{i}{jj}/n AS g{i}{jj}" for i in range(w) for jj in range(i, w)]
+    )
+    for grp in ssa_power_layers(w, n_iter):
+        mo = mo.selectExpr("*", *[f"{e} AS {nm}" for nm, e in grp])
+    return mo.selectExpr(key, *[f"v{n_iter}_{j} AS v{j}" for j in range(w)])
+
+
 def ssa_outlier_wfeat_over(
     df: DataFrame,
     key: str,
@@ -931,18 +966,7 @@ def ssa_outlier_wfeat_over(
     )
     for i in range(1, w):
         base = base.withColumn(f"x{i}", F.lead("x0", i).over(w0))
-    full = base.where(F.col(f"x{w - 1}").isNotNull())
-    dec = [F.col(f"x{i}").cast("decimal(18,6)") for i in range(w)]
-    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
-    for i in range(w):
-        for jj in range(i, w):
-            aggs.append(F.sum(dec[i] * dec[jj]).cast("double").alias(f"s{i}{jj}"))
-    mo = full.groupBy(key).agg(*aggs).selectExpr(
-        key, *[f"s{i}{jj}/n AS g{i}{jj}" for i in range(w) for jj in range(i, w)]
-    )
-    for grp in ssa_power_layers(w, n_iter):
-        mo = mo.selectExpr("*", *[f"{e} AS {nm}" for nm, e in grp])
-    par = mo.selectExpr(key, *[f"v{n_iter}_{j} AS v{j}" for j in range(w)])
+    par = ssa_wfeat_par(df, key, order_col, value, w, n_iter)
 
     proj = " + ".join(f"x{i}*v{i}" for i in range(w))
     scored = base.join(F.broadcast(par), key).selectExpr(

@@ -869,3 +869,123 @@ def dedup_stream(
         .withWatermark(ts_col, watermark_delay)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+SSA_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("bucket_ts", LongType()),
+        StructField("ssa4_score", DoubleType()),
+    ]
+)
+SSA_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("xs_tail", ArrayType(DoubleType())),
+        StructField("ts_pend", ArrayType(LongType())),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+
+def ssa_stream(
+    rollup: DataFrame,
+    vectors: dict,
+    w: int = 4,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Streaming window-``w`` SSA reconstruction scoring — the stateful twin
+    of :func:`..operators.detect.ssa_outlier_wfeat_over` (fit batch-side via
+    :func:`..operators.detect.ssa_wfeat_par`, the per-key eigenvector ships
+    in the closure; ``od/seq2seq.py:199-244`` scoring contract).
+
+    A position finalizes only once every lag window covering it is complete
+    (its score needs ``x`` up to ``w−1`` steps ahead), so emission lags the
+    stream head by ``w−1`` rows and the state carries the last ``2w−2``
+    values plus the pending positions' timestamps. Arithmetic mirrors the
+    batch SQL term-for-term: left-fold projections, newest-window-first
+    contribution sums with ``+0.0`` for missing leading windows, HALF_UP 6dp
+    rounding (Spark ``round``'s BigDecimal semantics via ``decimal``) — so
+    finalized scores bit-match the batch operator under ANY micro-batch
+    slicing."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6_half_up(val: float) -> float:
+        # Spark's round(double, 6) = BigDecimal.valueOf(x) → setScale(6,
+        # HALF_UP): it rounds the SHORTEST round-trip decimal repr (Java
+        # Double.toString ≡ Python repr), not the exact binary expansion —
+        # Decimal(val) directly would flip ~1% of 6dp digits at 1e8 scale
+        return float(Decimal(repr(float(val))).quantize(Decimal("0.000001"), ROUND_HALF_UP)) + 0.0
+
+    def fn(key, pdf_iter, state):
+        (source,) = key
+        v = vectors.get(source)
+        if v is None:
+            return
+        if state.exists:
+            n, xs_tail, ts_pend, last_ts = state.get
+            n = int(n)
+            xs = [float(x) for x in xs_tail]
+            pend = [int(t) for t in ts_pend]
+            last_ts = int(last_ts)
+        else:
+            n, xs, pend, last_ts = 0, [], [], -1
+        chunks = [p for p in pdf_iter if len(p)]
+        whole = pd.concat(chunks) if chunks else None
+        out_ts, out_sc = [], []
+        for pdf in ([whole] if whole is not None else []):
+            pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+            pdf = pdf[pdf["bucket_ts"] > last_ts]
+            if not len(pdf):
+                continue
+            for ts, val in zip(
+                pdf["bucket_ts"].to_numpy(dtype=np.int64),
+                pdf[value_col].to_numpy(dtype=np.float64),
+            ):
+                xs.append(float(val))
+                pend.append(int(ts))
+                n += 1
+                q = n - w  # 0-based position finalized by this arrival
+                if q >= 0:
+                    # xs holds positions n-len(xs)..n-1; keep 2w-1 live
+                    off = n - len(xs)
+
+                    def proj(t: int) -> float:
+                        acc = xs[t - off] * v[0]
+                        for i in range(1, w):
+                            acc = acc + xs[t - off + i] * v[i]
+                        return acc
+
+                    # mirror the batch fold: i ascending = newest window
+                    # first, missing leading windows contribute +0.0
+                    num, cnt = None, 0
+                    for i in range(w):
+                        t = q - i
+                        term = proj(t) * v[i] if t >= 0 else 0.0
+                        num = term if num is None else num + term
+                        cnt += 1 if t >= 0 else 0
+                    x_q = xs[q - off]
+                    d = x_q - num / cnt
+                    out_ts.append(pend[0])
+                    out_sc.append(_round6_half_up(d * d))
+                    pend = pend[1:]
+                if len(xs) > 2 * w - 1:
+                    xs = xs[-(2 * w - 1):]
+            last_ts = int(pdf["bucket_ts"].iloc[-1])
+        state.update((n, xs, pend, last_ts))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "source": source,
+                    "bucket_ts": np.asarray(out_ts, dtype=np.int64),
+                    "ssa4_score": np.asarray(out_sc, dtype=np.float64),
+                }
+            )
+
+    return rollup.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=SSA_OUT_SCHEMA,
+        stateStructType=SSA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -419,3 +419,69 @@ def test_sr_stream_bitmatches_chunked_batch(spark, tmp_path, cfg):
                 g["sr_score"].to_numpy(np.float64).view(np.uint64),
                 scores.view(np.uint64),
             ), (tag, source)
+
+
+def test_ssa_stream_bitmatches_batch(spark, tmp_path, cfg):
+    """Streaming window-4 SSA (fit batch-side, halo in the state store) must
+    reproduce the batch operator's finalized scores bit-for-bit across
+    micro-batches (the last w-1 positions stay pending in a stream)."""
+    tmp = str(tmp_path)
+    from alibi_detect_spark.operators.detect import (
+        ssa_outlier_wfeat_over,
+        ssa_wfeat_par,
+    )
+    from alibi_detect_spark.streaming.rollup_stream import ssa_stream
+
+    w = 4
+    raw = spark.createDataFrame(
+        synth_batch(np.arange(0, 40_000, dtype=np.int64), cfg, with_tokens=False)
+    )
+    rollup_df = rollup_tier1(raw, "1h")
+    rollup = rollup_df.toPandas().sort_values(["source", "bucket_ts"])
+
+    # fit half: the SAME JVM-computed eigenvectors ship in the stream closure
+    par = ssa_wfeat_par(rollup_df, "source", "bucket_ts", "sum_n_tok", w).collect()
+    vectors = {r["source"]: [float(r[f"v{j}"]) for j in range(w)] for r in par}
+
+    batch = (
+        ssa_outlier_wfeat_over(rollup_df, "source", "bucket_ts", "sum_n_tok", w)
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+    )
+
+    # stream the rollup rows as three files in time order
+    cuts = rollup["bucket_ts"].quantile([0.3, 0.7]).to_numpy()
+    os.makedirs(f"{tmp}/sin", exist_ok=True)
+    rollup[rollup["bucket_ts"] <= cuts[0]].to_parquet(f"{tmp}/sin/p0.parquet", index=False)
+    rollup[(rollup["bucket_ts"] > cuts[0]) & (rollup["bucket_ts"] <= cuts[1])].to_parquet(
+        f"{tmp}/sin/p1.parquet", index=False
+    )
+    rollup[rollup["bucket_ts"] > cuts[1]].to_parquet(f"{tmp}/sin/p2.parquet", index=False)
+    src = (
+        spark.readStream.schema(
+            "source string, bucket_ts long, n_docs long, sum_n_tok long,"
+            " min_n_tok int, max_n_tok int, mean_n_tok double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/sin")
+    )
+    q = (
+        ssa_stream(src, vectors, w=w)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/sout")
+        .option("checkpointLocation", f"{tmp}/sckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{tmp}/sout").toPandas().sort_values(["source", "bucket_ts"])
+
+    for source, bg in batch.groupby("source"):
+        bg = bg.sort_values("bucket_ts").iloc[: -(w - 1)]  # finalized prefix
+        g = got[got["source"] == source].sort_values("bucket_ts")
+        assert np.array_equal(g["bucket_ts"].to_numpy(), bg["bucket_ts"].to_numpy()), source
+        assert np.array_equal(
+            g["ssa4_score"].to_numpy(np.float64).view(np.uint64),
+            bg["ssa4_score"].to_numpy(np.float64).view(np.uint64),
+        ), source
