@@ -331,6 +331,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         drift.ks_2samp(_events_labeled(s, sf), "event_type", "value"),
         ["event_type"],
     )
+
+    # the reference's FLAGSHIP drift config (cd/ks.py defaults over d-dim
+    # features + utils/statstest.py corrections): feature-wise KS across all
+    # 64 embedding dims + Bonferroni/BH-FDR aggregation — one posexplode,
+    # one ECDF shuffle keyed by (dim, value), window math on the 64-row
+    # p-value relation
+    def ks_drift_emb(s, sf):
+        lab = _t(s, sf, "embeddings").select(
+            F.when(F.col("vec_id") % 2 == 0, F.lit("ref"))
+            .otherwise(F.lit("test"))
+            .alias("sample"),
+            F.posexplode("embedding").alias("dim", "val_f"),
+        ).select("sample", "dim", F.col("val_f").cast("double").alias("val"))
+        return drift.drift_corrections(
+            drift.ks_2samp(lab, "dim", "val"), ["dim"]
+        )
+
+    q["ks_drift_emb"] = ks_drift_emb
     q["reservoir_sample"] = lambda s, sf: sample.reservoir_sample(
         _t(s, sf, "events"), "event_id", 500, keep_cols=["event_id", "event_type"]
     )
@@ -1001,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fet_decisions_data", "mahalanobis_cat", "mahalanobis_mvdm",
         "mahalanobis_abdm_mvdm", "ssa_outlier_w4", "props_json_stats",
         "pca_outlier_sub", "ae_outlier_emb", "kpca_outlier_4c",
+        "ks_drift_emb",
         # no row since r1/r2 (the round-4 window exceptions) — rotated back
         # in so the salted-agg and codec invariants get a fresh driver row
         "token_rollup_1h_salted", "token_invariant", "pages_roundtrip",
@@ -1017,18 +1036,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash_pairs",
         "dedup_embedding_cosine", "contamination_check", "weighted_sample",
         "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_build", "lang_id",
-        "quality_score", "token_counts",
+        "quality_score",
         # --- ~50-entry window edge ---
         # rows-only beyond the window: r3 rows + NumPy bit-match pytests +
         # hash-green closed-form siblings (lsdd_perm_hash /
         # classifier_drift_logit / iforest_hash / pca_outlier_* /
         # gmm_outlier_* / context_mmd_hash / svm's ocsvm_mean /
         # lsdd_online_hash / mahalanobis_online_hash) carry their evidence;
-        # with 111 queries and ~50 slots per round these are the 11 entries
+        # with 112 queries and ~50 slots per round these are the 12 entries
         # that yield slots to the round-5 work (tpch_q1 is additionally
         # executed by test_cheap_queries_execute on every pytest run;
-        # fingerprint is r3-green with direct pytest coverage)
-        "fingerprint", "tpch_q1", "lsdd_perm_test", "classifier_drift_lr",
+        # token_counts/fingerprint are r3-green with direct pytest coverage)
+        "token_counts", "fingerprint", "tpch_q1", "lsdd_perm_test", "classifier_drift_lr",
         "context_mmd_drift",
         "svm_outlier", "iforest_outlier", "pca_outlier", "gmm_outlier",
         "lsdd_online", "mahalanobis_online",
@@ -2185,6 +2204,45 @@ rk AS (SELECT event_type, p_value,
               count(*) OVER () AS nf
        FROM kp)
 SELECT event_type, p_value, CAST(rank AS INTEGER) AS rank,
+       round(0.05 * rank / nf, 9) AS q_threshold,
+       CAST(p_value < 0.05 * rank / nf AS INTEGER) AS fdr_below,
+       CAST(p_value < 0.05 / nf AS INTEGER) AS bonferroni_reject,
+       CAST(max(CASE WHEN p_value < 0.05 * rank / nf THEN 1 ELSE 0 END) OVER () AS INTEGER) AS is_drift_fdr
+FROM rk
+"""
+
+    # feature-wise KS over the 64 embedding dims + corrections: the _ECDF /
+    # ks_drift / drift_fdr program keyed by dim (posexplode ≡ the
+    # generate_series pair join)
+    o["ks_drift_emb"] = """
+WITH lab AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s,
+                    CAST(j AS INTEGER) AS dim,
+                    CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) AS v
+             FROM embeddings, generate_series(0, 63) AS t(j)),
+g AS (SELECT dim, v,
+             sum(CASE WHEN s = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+             sum(CASE WHEN s <> 'ref' THEN 1 ELSE 0 END) AS c_test
+      FROM lab GROUP BY 1, 2),
+c AS (SELECT dim, v, c_ref, c_test,
+             sum(c_ref)  OVER (PARTITION BY dim ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_ref,
+             sum(c_test) OVER (PARTITION BY dim ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_test,
+             sum(c_ref)  OVER (PARTITION BY dim) AS n_ref,
+             sum(c_test) OVER (PARTITION BY dim) AS n_test
+      FROM g),
+d AS (SELECT dim, n_ref, n_test, max(abs(cum_ref/n_ref - cum_test/n_test)) AS d_raw
+      FROM c GROUP BY 1, 2, 3),
+t2 AS (SELECT dim, sqrt(n_ref*n_test/(n_ref+n_test)) * d_raw AS tt FROM d),
+kp AS (SELECT dim,
+       round(CASE WHEN tt <= 0 THEN 1.0 ELSE
+         least(greatest(list_sum(list_transform(generate_series(1, 100),
+           k -> 2.0 * pow(-1.0, k-1) * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * tt * tt))), 0.0), 1.0)
+       END, 9) AS p_value
+      FROM t2),
+rk AS (SELECT dim, p_value,
+              row_number() OVER (ORDER BY p_value, dim) AS rank,
+              count(*) OVER () AS nf
+       FROM kp)
+SELECT dim, p_value, CAST(rank AS INTEGER) AS rank,
        round(0.05 * rank / nf, 9) AS q_threshold,
        CAST(p_value < 0.05 * rank / nf AS INTEGER) AS fdr_below,
        CAST(p_value < 0.05 / nf AS INTEGER) AS bonferroni_reject,

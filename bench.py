@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "ewma_hourly_counts",
     "pages_roundtrip",
     "ks_drift",
+    "ks_drift_emb",
     "cvm_drift",
     "chi2_drift",
     "mmd_drift",
