@@ -210,6 +210,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ks_drift"] = lambda s, sf: drift.ks_2samp(_events_labeled(s, sf), "event_type", "value")
     q["cvm_drift"] = lambda s, sf: drift.cvm_2samp(_events_labeled(s, sf), "event_type", "value")
     q["chi2_drift"] = lambda s, sf: drift.chi2_contingency(_events_labeled(s, sf), "event_type")
+    # corpus-monitoring flavor of the same test: language-distribution drift
+    # over the documents table (categorical χ², cd/chisquare.py semantics)
+    q["lang_drift"] = lambda s, sf: drift.chi2_contingency(
+        _t(s, sf, "documents").select(
+            "lang",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("ref"))
+            .otherwise(F.lit("test"))
+            .alias("sample"),
+        ),
+        "lang",
+    )
     q["mmd_drift"] = lambda s, sf: drift.mmd_2samp(
         _events_labeled(s, sf), "value", n_per_side=256, sigma=5.0, order_col="event_id"
     )
@@ -1019,7 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fet_decisions_data", "mahalanobis_cat", "mahalanobis_mvdm",
         "mahalanobis_abdm_mvdm", "ssa_outlier_w4", "props_json_stats",
         "pca_outlier_sub", "ae_outlier_emb", "kpca_outlier_4c",
-        "ks_drift_emb",
+        "ks_drift_emb", "lang_drift",
         # no row since r1/r2 (the round-4 window exceptions) — rotated back
         # in so the salted-agg and codec invariants get a fresh driver row
         "token_rollup_1h_salted", "token_invariant", "pages_roundtrip",
@@ -1036,18 +1047,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash_pairs",
         "dedup_embedding_cosine", "contamination_check", "weighted_sample",
         "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_build", "lang_id",
-        "quality_score",
         # --- ~50-entry window edge ---
         # rows-only beyond the window: r3 rows + NumPy bit-match pytests +
         # hash-green closed-form siblings (lsdd_perm_hash /
         # classifier_drift_logit / iforest_hash / pca_outlier_* /
         # gmm_outlier_* / context_mmd_hash / svm's ocsvm_mean /
         # lsdd_online_hash / mahalanobis_online_hash) carry their evidence;
-        # with 112 queries and ~50 slots per round these are the 12 entries
+        # with 113 queries and ~50 slots per round these are the 13 entries
         # that yield slots to the round-5 work (tpch_q1 is additionally
         # executed by test_cheap_queries_execute on every pytest run;
-        # token_counts/fingerprint are r3-green with direct pytest coverage)
-        "token_counts", "fingerprint", "tpch_q1", "lsdd_perm_test", "classifier_drift_lr",
+        # quality_score/token_counts/fingerprint are r3-green with direct
+        # pytest coverage)
+        "quality_score", "token_counts", "fingerprint", "tpch_q1",
+        "lsdd_perm_test", "classifier_drift_lr",
         "context_mmd_drift",
         "svm_outlier", "iforest_outlier", "pca_outlier", "gmm_outlier",
         "lsdd_online", "mahalanobis_online",
@@ -1450,6 +1462,17 @@ cm AS (SELECT s, sum(obs) AS col_n FROM cells GROUP BY 1)
 SELECT round(sum((obs - row_n*col_n/n) * (obs - row_n*col_n/n) / (row_n*col_n/n)), 9) AS chi2_stat,
        CAST((count(DISTINCT cells.event_type) - 1) * (count(DISTINCT cells.s) - 1) AS BIGINT) AS dof
 FROM cells JOIN rm USING (event_type) JOIN cm USING (s) CROSS JOIN tot
+"""
+
+    o["lang_drift"] = """
+WITH lab AS (SELECT lang, CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'test' END AS s FROM documents),
+cells AS (SELECT lang, s, count(*) AS obs FROM lab GROUP BY 1, 2),
+tot AS (SELECT sum(obs) AS n FROM cells),
+rm AS (SELECT lang, sum(obs) AS row_n FROM cells GROUP BY 1),
+cm AS (SELECT s, sum(obs) AS col_n FROM cells GROUP BY 1)
+SELECT round(sum((obs - row_n*col_n/n) * (obs - row_n*col_n/n) / (row_n*col_n/n)), 9) AS chi2_stat,
+       CAST((count(DISTINCT cells.lang) - 1) * (count(DISTINCT cells.s) - 1) AS BIGINT) AS dof
+FROM cells JOIN rm USING (lang) JOIN cm USING (s) CROSS JOIN tot
 """
 
     o["mmd_drift"] = """

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "ks_drift_emb",
     "cvm_drift",
     "chi2_drift",
+    "lang_drift",
     "mmd_drift",
     "mmd_drift_vec",
     "mmd_perm_vec",

@@ -35,7 +35,7 @@ def test_cheap_queries_execute(spark, sf_dir):
 def test_recording_window_covers_unproven_queries():
     """The driver records only the first ~50 queries() entries per round.
     Guard the round-5 ordering invariant: every query that lacks a
-    CORRECTNESS_r04 row must sit inside the first 50 — except the twelve
+    CORRECTNESS_r04 row must sit inside the first 50 — except the thirteen
     documented rows-only entries (r3 rows + bit-match pytests + hash-green
     siblings) that yielded their slots to the round-5 queries."""
     import json
@@ -47,8 +47,8 @@ def test_recording_window_covers_unproven_queries():
     r4 = set(json.load(open(art)))
     names = list(E.queries())
     allowed_outside = {
-        "token_counts", "fingerprint", "tpch_q1", "lsdd_perm_test",
-        "classifier_drift_lr",
+        "quality_score", "token_counts", "fingerprint", "tpch_q1",
+        "lsdd_perm_test", "classifier_drift_lr",
         "context_mmd_drift",
         "svm_outlier", "iforest_outlier", "pca_outlier", "gmm_outlier",
         "lsdd_online", "mahalanobis_online",
