@@ -503,6 +503,34 @@ def main() -> None:
         "(band_id, band_key) — equi-join only, never a cross join.",
     )
 
+    # round-5 operators: categorical Mahalanobis must stay zero-Python
+    # (driver MDS chain + codegen scoring, contingency via one distributed
+    # groupBy); the flagship per-dim KS must never cartesian and keeps the
+    # ECDF shuffle keyed by (dim, value)
+    audit(
+        "mahalanobis_cat",
+        qs["mahalanobis_cat"](spark, SF),
+        requires=["HashAggregate", "BroadcastNestedLoopJoin"],
+        forbids=["MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                 "CartesianProduct", "SortMergeJoin"],
+        note="cat_vars Mahalanobis: quartile borders + contingency are "
+        "aggregates, the ABDM/MDS chain is driver scalar math on the k-row "
+        "relation, scoring is one exact-moment aggregate broadcast back "
+        "(1-row stats relation -> BroadcastNestedLoopJoin) into a codegen "
+        "scan — zero Python stages, no shuffle joins.",
+    )
+    audit(
+        "ks_drift_emb",
+        qs["ks_drift_emb"](spark, SF),
+        requires=["HashAggregate"],
+        forbids=["MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                 "CartesianProduct"],
+        note="Feature-wise KS across 64 embedding dims + BH/Bonferroni: one "
+        "posexplode, one ECDF aggregate keyed by (dim, value) — the only "
+        "data-proportional shuffle — then window math on the 64-row "
+        "p-value relation. Zero Python stages.",
+    )
+
     # 8. LSH band-key skew defense: the hot-boilerplate-bucket mitigation
     #    named in dedup.py:218-233 is AQE skew-join splitting — assert the
     #    engine session actually arms it (at sf0.01 the band join compiles to
