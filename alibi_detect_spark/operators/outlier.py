@@ -1937,18 +1937,28 @@ def ae_outlier_emb(
                 lambda acc, t: acc + t,
             )
         )
+    # materialize the projections as COLUMNS before the recon lambdas: a
+    # proj referenced inside a HOF lambda body is re-evaluated per array
+    # element (64x the 64-fold — a 6x slowdown), and CollapseProject would
+    # re-inline them through a bare select, so the narrow (cl, p1..p4)
+    # projection gets a localCheckpoint barrier (value-identical; one
+    # 68-double-per-row corpus copy — at real scale persist it or fuse the
+    # scoring into the moment Arrow pass instead)
+    proj_df = emb.select(
+        id_col, c.alias("cl"), *[projs[i].alias(f"p{i + 1}") for i in range(4)]
+    ).localCheckpoint()
+    p1, p2, p3, p4 = [F.col(f"p{i}") for i in range(1, 5)]
     # recon_j − μ_j = (v1[j]·p1 + v2[j]·p2) + (v3[j]·p3 + v4[j]·p4) —
     # pairwise grouping mirrored verbatim by the SQL twin
-    p1, p2, p3, p4 = projs
     r12 = F.zip_with(v_arrs[0], v_arrs[1], lambda a, b: a * p1 + b * p2)
     r34 = F.zip_with(v_arrs[2], v_arrs[3], lambda a, b: a * p3 + b * p4)
     rec = F.zip_with(r12, r34, lambda a, b: a + b)
-    err = F.zip_with(c, rec, lambda a, b: (a - b) * (a - b))
+    err = F.zip_with(F.col("cl"), rec, lambda a, b: (a - b) * (a - b))
     top = F.slice(F.sort_array(err, asc=False), 1, n_top)
     score = (
         F.aggregate(top, F.lit(0.0), lambda acc, t: acc + t) / F.lit(float(n_top))
     )
-    return emb.select(
+    return proj_df.select(
         id_col, (F.round(score, 6) + F.lit(0.0)).alias("ae_emb_score")
     )
 
