@@ -27,6 +27,10 @@ BENCH_QUERIES = [
     "rollup_1d_cascade",
     "gapfill_1h_events",
     "token_rollup_1h",
+    "token_rollup_source",
+    "token_rollup_1h_salted",
+    "token_invariant",
+    "ref_update_last_n",
     "ewma_hourly_counts",
     "pages_roundtrip",
     "ks_drift",
@@ -56,11 +60,13 @@ BENCH_QUERIES = [
     "drift_fdr",
     "mahalanobis_topk",
     "knn_outlier",
+    "knn_outlier_predict",
     "knn_ensemble",
     "pca_outlier",
     "gmm_outlier",
     "gmm_outlier_2c",
     "gmm_outlier_4d",
+    "pca_outlier_2d",
     "pca_outlier_4d",
     "pca_outlier_emb",
     "pca_outlier_sub",
@@ -97,6 +103,7 @@ BENCH_QUERIES = [
     "seasonal_bands",
     "trend_bands",
     "ssa_outlier",
+    "online_decisions",
     "cvm_decisions",
     "mmd_decisions",
     "fet_decisions",
