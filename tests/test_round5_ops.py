@@ -280,3 +280,81 @@ def test_pca_sub_and_ae_emb_match_numpy_eigendecomposition(spark):
 
     r1 = pca_outlier_emb(df, n_iter=40).toPandas().sort_values("vec_id")
     assert (sub["pca_sub_resid"].to_numpy() <= r1["pca_resid"].to_numpy() + 1e-6).all()
+
+
+@pytest.mark.usefixtures("spark")
+def test_json_metadata_stats(spark):
+    import pandas as pd
+
+    from alibi_detect_spark.operators.multimodal import json_metadata_stats
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 3,
+            "props": ['{"k": %d}' % v for v in [1, 2, 3, 10, 5, 5, 8]],
+        }
+    )
+    out = (
+        json_metadata_stats(spark.createDataFrame(pdf), "props", "k", "k")
+        .toPandas()
+        .set_index("k")
+    )
+    assert out.loc["a", "n"] == 4 and out.loc["a", "sum_k"] == 16
+    assert out.loc["a", "min_k"] == 1 and out.loc["a", "max_k"] == 10
+    assert out.loc["a", "avg_k"] == 4.0
+    assert out.loc["a", "p50_k"] == 3  # percentile(.5) of [1,2,3,10] = 2.5 -> rounds 3 HALF_UP
+    assert out.loc["b", "p50_k"] == 5
+
+
+@pytest.mark.usefixtures("spark")
+def test_kpca_4land_matches_numpy_twin(spark):
+    """4-landmark Nyström kPCA: the distributed score equals a NumPy twin of
+    the same chain (md5 landmarks, Σ-var bandwidth, power-method principal
+    direction, residual off it), and is partition-invariant. Note the
+    semantics: like pca_outlier_4d it drops the TOP component — with 4
+    kernel features the residual keeps the remaining manifold variance, so
+    this instance is a subspace scorer, not an any-outlier detector (the
+    2-landmark case is the detection-shaped instance)."""
+    import hashlib
+
+    from tests.test_round3b_ops import _manifold_with_adv
+
+    from alibi_detect_spark.operators.outlier import kpca_outlier_4land
+
+    df = _manifold_with_adv(spark, n=900, n_adv=5, seed=13)
+    a = kpca_outlier_4land(df, ("v", "u"), "event_id").toPandas().sort_values("event_id")
+
+    pdf = df.toPandas().sort_values("event_id")
+    v, u = pdf["v"].to_numpy(), pdf["u"].to_numpy()
+    pr = np.array(
+        [hashlib.md5(f"kpca4:{i}".encode()).hexdigest() for i in pdf["event_id"]]
+    )
+    order = np.lexsort((pdf["event_id"].to_numpy(), pr))[:4]
+    # bandwidth from 4dp-quantized moments (DECIMAL cast in-engine)
+    v4, u4 = np.round(v, 4), np.round(u, 4)
+    s2 = v4.var() + u4.var() + 1e-9
+    feats = np.stack(
+        [
+            np.exp(-((v - v[o]) ** 2 + (u - u[o]) ** 2) / (2.0 * s2))
+            for o in order
+        ],
+        axis=1,
+    )
+    fq = np.round(feats, 4)
+    mu = fq.mean(axis=0)
+    cov = (fq - mu).T @ (fq - mu) / len(fq)
+    w = np.array([1.0, 0.0, 0.0, 0.0])
+    for _ in range(8):
+        z = cov @ w
+        w = z / np.linalg.norm(z)
+    c = feats - mu
+    want = (c * c).sum(axis=1) - (c @ w) ** 2
+    assert np.allclose(a["kpca4_resid"].to_numpy(), want, atol=1e-4)
+
+    b = (
+        kpca_outlier_4land(df.repartition(16, "u"), ("v", "u"), "event_id")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert a.reset_index(drop=True).equals(b)
