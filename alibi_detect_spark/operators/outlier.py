@@ -596,12 +596,18 @@ def gmm_outlier_emb(
         gm[j]["ss"] / (n * q * q) - (gm[j]["s"] / (n * q)) * (gm[j]["s"] / (n * q)) + eps
         for j in range(d)
     ]
-    first = F.element_at(F.col("v"), 1)
-    p_lo = base.orderBy(first, "__id").limit(1).collect()[0]
-    p_hi = base.orderBy(first.desc(), F.col("__id").desc()).limit(1).collect()[0]
+    # init probes in ONE job: min/max over the (first-component, id, v) struct
+    # is the lexicographic order the former two orderBy().limit(1).collect()
+    # jobs used (ties impossible — id unique), so the selected rows are
+    # identical and one full-scan job disappears
+    probe = F.struct(
+        F.element_at(F.col("v"), 1).alias("k0"), F.col("__id").alias("k1"),
+        F.col("v").alias("v"),
+    )
+    pm = base.agg(F.min(probe).alias("p_lo"), F.max(probe).alias("p_hi")).collect()[0]
     params = [
-        ([float(x) for x in p_lo["v"]], list(pop_var), 0.5),
-        ([float(x) for x in p_hi["v"]], list(pop_var), 0.5),
+        ([float(x) for x in pm["p_lo"]["v"]], list(pop_var), 0.5),
+        ([float(x) for x in pm["p_hi"]["v"]], list(pop_var), 0.5),
     ]
 
     def ld(p):
@@ -802,28 +808,54 @@ def iforest_emb(
     def c_py(s):
         return 1.0 if s == 2.0 else 2.0 * (math.log(s - 1.0) + gamma) - 2.0 * (s - 1.0) / s
 
+    # leaf-count maps for ALL trees in ONE grouping-sets job (≤ 2^depth rows
+    # per tree, bounded regardless of data size), then re-injected as literal
+    # create_map lookups: the previous shape — an eager localCheckpoint plus
+    # depth−1 broadcast joins PER TREE — planned 120 Exchanges / 64 broadcast
+    # joins and ran ~160 jobs at build time. The isolation-depth expression h
+    # itself is unchanged (same F.when/F.log chain over the same exact
+    # integer prefix sums, so scores are bit-identical); only where the leaf
+    # counts come from changed.
+    bcols = [f"b{t}" for t in range(n_trees)]
+    cnt_rows = (
+        j.groupingSets([[F.col(b)] for b in bcols], *[F.col(b) for b in bcols])
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    leaf_counts: list[dict[str, int]] = [{} for _ in range(n_trees)]
+    for r in cnt_rows:
+        for t, b in enumerate(bcols):
+            if r[b] is not None:
+                leaf_counts[t][r[b]] = int(r["c"])
+                break
+    h_cols = []
     for t in range(n_trees):
-        bt = f"b{t}"
-        lc = j.groupBy(bt).agg(F.count(F.lit(1)).cast("double").alias("sD")).localCheckpoint()
-        m = lc.select(F.col(bt).alias("leaf"), "sD")
-        for lv in range(1, depth):
-            pc = lc.groupBy(F.substring(F.col(bt), 1, lv).alias(f"p{lv}")).agg(
-                F.sum("sD").alias(f"s{lv}")
-            )
-            m = m.join(
-                F.broadcast(pc), F.substring(F.col("leaf"), 1, lv) == F.col(f"p{lv}")
-            ).drop(f"p{lv}")
-        h = F.when(F.col("s1") == 1.0, F.lit(1.0))
+        lc = leaf_counts[t]
+        # exact integer prefix sums over the leaf strings (driver-side)
+        pref: list[dict[str, int]] = [dict() for _ in range(depth)]
+        for leaf, c in lc.items():
+            for lv in range(1, depth):
+                p = leaf[:lv]
+                pref[lv][p] = pref[lv].get(p, 0) + c
+        # one F.expr parse of the whole literal map (a per-leaf F.lit storm
+        # costs thousands of py4j round trips); values are integer-valued
+        # doubles, so repr() round-trips exactly through the SQL parser
+        entries = []
+        for leaf, c in sorted(lc.items()):
+            s_arr = [float(pref[lv][leaf[:lv]]) for lv in range(1, depth)] + [float(c)]
+            arr_sql = ",".join(repr(s) for s in s_arr)
+            entries.append(f"'{leaf}',array({arr_sql})")
+        sarr = F.element_at(F.expr("map(" + ",".join(entries) + ")"), F.col(f"b{t}"))
+        h = F.when(F.element_at(sarr, 1) == 1.0, F.lit(1.0))
         for lv in range(2, depth):
-            h = h.when(F.col(f"s{lv}") == 1.0, F.lit(float(lv)))
-        h = h.when(F.col("sD") == 1.0, F.lit(float(depth))).otherwise(
-            F.lit(float(depth)) + c_of(F.col("sD"))
+            h = h.when(F.element_at(sarr, lv) == 1.0, F.lit(float(lv)))
+        h = h.when(F.element_at(sarr, depth) == 1.0, F.lit(float(depth))).otherwise(
+            F.lit(float(depth)) + c_of(F.element_at(sarr, depth))
         )
-        map_t = m.select("leaf", h.alias(f"h{t}"))
-        j = j.join(F.broadcast(map_t), j[bt] == map_t["leaf"]).drop("leaf")
-    avg_h = F.col("h0")
+        h_cols.append(h)
+    avg_h = h_cols[0]
     for t in range(1, n_trees):
-        avg_h = avg_h + F.col(f"h{t}")
+        avg_h = avg_h + h_cols[t]
     avg_h = avg_h / F.lit(float(n_trees))
     score = F.pow(F.lit(2.0), -(avg_h / F.lit(c_py(nn))))
     return j.select(
@@ -1079,14 +1111,23 @@ def gmm_outlier_dfeat(
             big(F.col(f"{nm}q")).alias(f"s_{nm}"),
             big(F.col(f"{nm}q") * F.col(f"{nm}q")).alias(f"ss_{nm}"),
         ]
+    # init probes in the SAME job as the moment aggregate: min/max over the
+    # (first-feature, id, features…) struct is the lexicographic order the
+    # former two orderBy().limit(1).collect() jobs used (ties impossible —
+    # id is unique), so the selected rows are identical and two full-scan
+    # jobs disappear (3 collect jobs → 1)
+    probe = F.struct(
+        F.col(names[0]).alias("k0"), F.col(id_col).alias("k1"),
+        *[F.col(nm).alias(nm) for nm in names],
+    )
+    aggs += [F.min(probe).alias("p_lo"), F.max(probe).alias("p_hi")]
     gl = base.agg(*aggs).collect()[0]
     n = gl["n"]
     pop_var = [
         gl[f"ss_{nm}"] / (n * q * q) - (gl[f"s_{nm}"] / (n * q)) * (gl[f"s_{nm}"] / (n * q)) + eps
         for nm in names
     ]
-    p_lo = base.orderBy(names[0], id_col).limit(1).collect()[0]
-    p_hi = base.orderBy(F.desc(names[0]), F.desc(id_col)).limit(1).collect()[0]
+    p_lo, p_hi = gl["p_lo"], gl["p_hi"]
     # params[k] = (means[d], variances[d], weight)
     params = [
         ([float(p_lo[nm]) for nm in names], list(pop_var), 0.5),
@@ -1435,31 +1476,51 @@ def iforest_hash_2feat(
             - F.lit(2.0) * (s - F.lit(1.0)) / s
         )
 
+    # leaf-count maps for ALL trees in ONE grouping-sets job (≤ 2^depth rows
+    # per tree, bounded regardless of data size), re-injected as literal
+    # create_map lookups — replaces the per-tree eager localCheckpoint +
+    # depth−1 broadcast joins (48 Exchanges / 24 broadcast joins, ~45 build
+    # jobs). The isolation-depth expression h is unchanged (same F.when/F.log
+    # chain over the same exact integer prefix sums → bit-identical scores).
+    bcols = [f"b{t}" for t in range(n_trees)]
+    cnt_rows = (
+        j.groupingSets([[F.col(b)] for b in bcols], *[F.col(b) for b in bcols])
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    leaf_counts: list[dict[str, int]] = [{} for _ in range(n_trees)]
+    for r in cnt_rows:
+        for t, b in enumerate(bcols):
+            if r[b] is not None:
+                leaf_counts[t][r[b]] = int(r["c"])
+                break
+    h_cols = []
     for t in range(n_trees):
-        bt = f"b{t}"
-        # materialize the ≤2^depth-row leaf-count relation: the prefix-count
-        # self-joins below would otherwise re-derive the whole upstream scan
-        # per join (≈100 parquet scans in the final plan without this)
-        lc = j.groupBy(bt).agg(F.count(F.lit(1)).cast("double").alias("sD")).localCheckpoint()
-        m = lc.select(F.col(bt).alias("leaf"), "sD")
-        for lv in range(1, depth):
-            pc = lc.groupBy(F.substring(F.col(bt), 1, lv).alias(f"p{lv}")).agg(
-                F.sum("sD").alias(f"s{lv}")
-            )
-            m = m.join(
-                F.broadcast(pc), F.substring(F.col("leaf"), 1, lv) == F.col(f"p{lv}")
-            ).drop(f"p{lv}")
-        h = F.when(F.col("s1") == 1.0, F.lit(1.0))
+        lc = leaf_counts[t]
+        pref: list[dict[str, int]] = [dict() for _ in range(depth)]
+        for leaf, c in lc.items():
+            for lv in range(1, depth):
+                p = leaf[:lv]
+                pref[lv][p] = pref[lv].get(p, 0) + c
+        # one F.expr parse of the whole literal map (a per-leaf F.lit storm
+        # costs thousands of py4j round trips); values are integer-valued
+        # doubles, so repr() round-trips exactly through the SQL parser
+        entries = []
+        for leaf, c in sorted(lc.items()):
+            s_arr = [float(pref[lv][leaf[:lv]]) for lv in range(1, depth)] + [float(c)]
+            arr_sql = ",".join(repr(s) for s in s_arr)
+            entries.append(f"'{leaf}',array({arr_sql})")
+        sarr = F.element_at(F.expr("map(" + ",".join(entries) + ")"), F.col(f"b{t}"))
+        h = F.when(F.element_at(sarr, 1) == 1.0, F.lit(1.0))
         for lv in range(2, depth):
-            h = h.when(F.col(f"s{lv}") == 1.0, F.lit(float(lv)))
-        h = h.when(F.col("sD") == 1.0, F.lit(float(depth))).otherwise(
-            F.lit(float(depth)) + c_of(F.col("sD"))
+            h = h.when(F.element_at(sarr, lv) == 1.0, F.lit(float(lv)))
+        h = h.when(F.element_at(sarr, depth) == 1.0, F.lit(float(depth))).otherwise(
+            F.lit(float(depth)) + c_of(F.element_at(sarr, depth))
         )
-        map_t = m.select("leaf", h.alias(f"h{t}"))
-        j = j.join(F.broadcast(map_t), j[bt] == map_t["leaf"]).drop("leaf")
-    avg_h = F.col("h0")
+        h_cols.append(h)
+    avg_h = h_cols[0]
     for t in range(1, n_trees):
-        avg_h = avg_h + F.col(f"h{t}")
+        avg_h = avg_h + h_cols[t]
     avg_h = avg_h / F.lit(float(n_trees))
     score = F.pow(F.lit(2.0), -(avg_h / c_of(F.col("nn"))))
     scored = j.select(id_col, (F.round(score, 6) + F.lit(0.0)).alias("if_score"))
