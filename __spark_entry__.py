@@ -59,8 +59,22 @@ from alibi_detect_spark.operators.rollup import (  # noqa: E402
 EPOCH0 = 1_704_067_200  # 2024-01-01T00:00:00Z, matches the events table epoch
 
 
+# Memo of LAZY reader plans, not of data or results: spark.read.parquet()
+# costs ~150 ms of driver-side file listing + schema inference per call
+# (guide §6 — repeated listings), and the suite builds ~150 readers. Reusing
+# the unresolved plan object skips only that metadata work — every execution
+# still scans the parquet input; nothing is persisted or cached.
+_READERS: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # keyed by session identity (the session object itself, so a restarted
+    # session can never alias a stale entry) + path
+    key = (spark, f"{sf_dir}/{name}.parquet")
+    df = _READERS.get(key)
+    if df is None:
+        df = _READERS[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def _token_table(docs: DataFrame) -> DataFrame:

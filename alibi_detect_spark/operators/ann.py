@@ -67,9 +67,13 @@ def knn_ensemble_scores(
                 rows[f"d{k}"] = top[:, k - 1]
             yield pd.DataFrame(rows)
 
+    # materialize the (id, d3, d5, d7) relation once (lazy checkpoint: no
+    # extra build job, blocks freed on GC of the result): it feeds the
+    # moment aggregate, the normalized scores, AND the two-level ECDF —
+    # without this the Arrow/python distance stage re-executes per branch
     dists = emb.select(id_col, EMB_COL).mapInPandas(
         fn, schema="vec_id long, " + ", ".join(f"d{k} double" for k in ks)
-    )
+    ).localCheckpoint(eager=False)
     # ShiftAndScaleNormalizer moments from exact decimal sums (order-free)
     n = F.count(F.lit(1)).cast("double")
     moment_cols = []

@@ -34,6 +34,21 @@ MINHASH_AB = [
 ]
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a small relation to the session's default parallelism
+    when it carries fewer partitions (the sandbox's single-file scans produce
+    1-partition relations, which single-threads the CPU-bound band self-joins
+    and verification scans downstream). Guarded by the CURRENT partition
+    count, so at warehouse scale — where the scan already has thousands of
+    partitions — this is a no-op; the key-hash partitioning is deterministic
+    (guide §2.5: never repartition on rand()) and results are
+    partitioning-invariant by construction."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, *keys)
+    return df
+
+
 def words_col(text: str = "text"):
     return F.split(F.col(text), " ")
 
@@ -105,7 +120,11 @@ def exploded_shingles(docs: DataFrame, text: str = "text", n: int = 3) -> DataFr
                 }
             )
 
-    return docs.select("doc_id", text).mapInPandas(fn, schema="doc_id long, h60 long, h32 long")
+    # spread the doc batches BEFORE the python stage: a single-file scan is
+    # one partition, which would run the whole md5 shingling on one worker
+    return _spread(docs.select("doc_id", text), "doc_id").mapInPandas(
+        fn, schema="doc_id long, h60 long, h32 long"
+    )
 
 
 def exact_dup_groups(
@@ -163,7 +182,9 @@ def ngram_jaccard_pairs(
     # a long-lived session (a bare persist() is never unpersisted here).
     # The production analog at warehouse scale is writing the (doc_id, h60)
     # index table and joining against it.
-    sh = exploded_shingles(docs, text, n).select("doc_id", "h60").localCheckpoint()
+    sh = _spread(
+        exploded_shingles(docs, text, n).select("doc_id", "h60"), "h60"
+    ).localCheckpoint()
     if max_df is not None:
         hot = (
             sh.groupBy("h60")
@@ -237,7 +258,7 @@ def minhash_lsh_pairs(
     # and candidate verification all reuse it (cf. ngram_jaccard_pairs note)
     # localCheckpoint(eager) not persist(): blocks are freed by the
     # ContextCleaner when the result is dropped (no unpersist obligation)
-    shidx = exploded_shingles(docs, text, n).localCheckpoint()
+    shidx = _spread(exploded_shingles(docs, text, n), "doc_id").localCheckpoint()
     sigs = minhash_signatures(None, text, n, k, index=shidx).localCheckpoint()
     band_arr = F.array(
         *[
@@ -439,7 +460,10 @@ def embedding_near_pairs(
     # materialize the tiny (id, sketch) relation once — both band sides and
     # the candidate join reuse it instead of re-running the projection scan
     # (localCheckpoint: blocks freed on GC of the result, no unpersist debt)
-    sk = emb.select(id_col, emb_col).mapInPandas(fn, schema="vec_id long, sketch long").localCheckpoint()
+    sk = _spread(
+        emb.select(id_col, emb_col).mapInPandas(fn, schema="vec_id long, sketch long"),
+        "vec_id",
+    ).localCheckpoint()
     width = HP_BITS // HP_BANDS
     bandv = F.array(
         *[
@@ -461,18 +485,33 @@ def embedding_near_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    # verify with the SAME fold-order cosine the oracle uses
+    # verify with the SAME fold-order cosine the oracle uses — but as an
+    # explicit left-associated term chain (((0+t₁)+t₂)+…, identical IEEE
+    # association to the F.aggregate fold / DuckDB list_reduce) built by one
+    # F.expr parse: HOF lambdas run in the interpreter, and at ~10⁶ banded
+    # candidate pairs the interpreted 64-step folds cost ~10× the whole
+    # operator. Per-vector norms are precomputed once in the (tiny) vecs
+    # relation — the same doubles the per-pair sqrt(dot(v,v)) produced.
+    def dot_expr(p: str, q: str) -> "F.Column":
+        return F.expr(
+            "0.0D + " + " + ".join(
+                f"element_at({p},{i})*element_at({q},{i})" for i in range(1, dim + 1)
+            )
+        )
+
     vecs = emb.select(
         F.col(id_col), F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("v")
-    )
-    dot = lambda p, q: F.aggregate(  # noqa: E731
-        F.zip_with(p, q, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t
-    )
-    va, vb = F.col("va"), F.col("vb")
-    cos = dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+    ).select(F.col(id_col), "v", F.sqrt(dot_expr("v", "v")).alias("nrm"))
+    cos = dot_expr("va", "vb") / (F.col("na") * F.col("nb"))
     return (
-        cand.join(vecs.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va")), "vec_a")
-        .join(vecs.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        cand.join(
+            vecs.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
+            "vec_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
+            "vec_b",
+        )
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
@@ -483,7 +522,11 @@ def simhash32(docs: DataFrame, text: str = "text") -> DataFrame:
     md5-derived hash per word → hash-aggregate with 32 conditional ±1 sums
     (whole-stage codegen, partial agg map-side) → fingerprint from the vote
     signs. bit b is set iff Σ_words(±1 on bit b) > 0."""
-    w = docs.select("doc_id", F.explode(words_col(text)).alias("word"))
+    # spread doc rows before the explode: a 1-partition scan would otherwise
+    # md5-hash every word occurrence in a single task
+    w = _spread(docs.select("doc_id", text), "doc_id").select(
+        "doc_id", F.explode(words_col(text)).alias("word")
+    )
     w = w.select("doc_id", _h32(F.col("word")).alias("h"))
     votes = [
         F.sum(
@@ -510,7 +553,7 @@ def simhash_near_pairs(docs: DataFrame, text: str = "text", max_hamming: int = 3
     # one materialized pass for the 32-bit fingerprints; both band sides
     # reuse it instead of re-exploding the word stream (localCheckpoint:
     # blocks freed on GC of the result, no unpersist debt)
-    s = simhash32(docs, text).localCheckpoint()
+    s = _spread(simhash32(docs, text), "doc_id").localCheckpoint()
     width = SIMHASH_BITS // SIMHASH_BANDS
     bandv = F.array(
         *[

@@ -175,6 +175,10 @@ def infer_threshold(
 
     p = threshold_perc / 100.0
     if mode == "exact":
+        # materialize the score relation once (lazy checkpoint — no extra
+        # build job): it feeds BOTH the percentile aggregate and the output
+        # rows; upstream python/Arrow score stages would otherwise run twice
+        scores = scores.localCheckpoint(eager=False)
         thr = scores.agg(
             F.round(F.expr(f"percentile({score_col}, {p})"), 6).alias("threshold")
         )
