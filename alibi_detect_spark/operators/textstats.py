@@ -158,28 +158,47 @@ def doc_repetition(docs: DataFrame, text: str = "text", n: int = 3) -> DataFrame
     earlier occurrence, ``1 − distinct_ngrams / total_ngrams``. Documents
     shorter than ``n`` words are excluded (no n-grams to judge).
 
-    Pure relational plan: explode n-grams, one (doc, gram) count aggregate
-    (map-side partial), one per-doc aggregate — exact integer ratio, no UDF,
-    scales by the gram shuffle key."""
-    w = _words(text)
-    grams = F.expr(
-        f"transform(sequence(1, size(split({text}, ' ')) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(split({text}, ' '), i, {n})))"
-    )
-    g = (
-        docs.where(F.size(w) >= n)
-        .select("doc_id", F.explode(grams).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    per_doc = g.groupBy("doc_id").agg(
-        F.sum("c").cast("double").alias("total"),
-        F.count(F.lit(1)).cast("double").alias("uniq"),
+    The per-doc (total, uniq) gram counts are EXACT INTEGERS computed in one
+    Arrow-batched pass (a python dict per document — bounded by document
+    length); the ratio and rounding stay in-engine, so the output is
+    bit-identical to the former explode → (doc, gram) → per-doc aggregate
+    plan. That plan's gram strings came from a higher-order ``transform``
+    whose lambda re-split the text PER ELEMENT in the interpreter (~10⁶
+    splits at sf0.1 — the measured 2.4 s was almost entirely that); the
+    n-gram definition (split on single spaces, space-joined grams) is
+    unchanged. The relational twin remains the SQL oracle's definition. At
+    warehouse scale the pass is scan-bound map work with no gram shuffle at
+    all — strictly better than shuffling the exploded gram relation."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            ids, totals, uniqs = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"].to_numpy(), pdf[text]):
+                if txt is None:
+                    continue
+                ws = txt.split(" ")
+                total = len(ws) - n + 1
+                if total < 1:
+                    continue
+                uniq = len({tuple(ws[i : i + n]) for i in range(total)})
+                ids.append(doc_id)
+                totals.append(total)
+                uniqs.append(uniq)
+            yield pd.DataFrame({"doc_id": ids, "total": totals, "uniq": uniqs})
+
+    from .dedup import _spread
+
+    per_doc = _spread(docs.select("doc_id", text), "doc_id").mapInPandas(
+        fn, schema="doc_id long, total long, uniq long"
     )
     return per_doc.select(
         "doc_id",
-        F.col("total").cast("long").alias("n_grams"),
-        (F.round(F.lit(1.0) - F.col("uniq") / F.col("total"), 6) + F.lit(0.0)).alias(
-            "rep_ratio"
-        ),
+        F.col("total").alias("n_grams"),
+        (
+            F.round(
+                F.lit(1.0) - F.col("uniq").cast("double") / F.col("total").cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("rep_ratio"),
     )
