@@ -834,13 +834,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.round("fet_stat", 6) + F.lit(0.0)).alias("fet_stat"),
             )
         )
-        thr_df = s.createDataFrame(
-            list(fet_data_threshold_table()), "sum_ref long, tt int, thr double"
-        )
+        thr_rows = list(fet_data_threshold_table())
+        thr_df = s.createDataFrame(thr_rows, "sum_ref long, tt int, thr double")
+        # clamp = the table's own max step (15 under the window_sizes=(15,)
+        # default — the same literal the frozen oracle SQL carries), derived
+        # from the rows so a config change cannot silently select thresholds
+        # the table does not have
+        clamp = max(r[1] for r in thr_rows)
         st = (
             stats.withColumn("t", F.row_number().over(wk))
             .join(F.broadcast(refs), "event_type")
-            .withColumn("tt", F.least(F.col("t"), F.lit(15)))
+            .withColumn("tt", F.least(F.col("t"), F.lit(clamp)))
         )
         dec = (
             st.join(F.broadcast(thr_df), ["sum_ref", "tt"])

@@ -361,8 +361,8 @@ def spot_the_diff_drift(
     )
     # n_folds-row relation consumed by three branches (totals, coef,
     # final_coef) — materialize once so each branch does not re-derive the
-    # full feature scan
-    per_fold = per_fold.localCheckpoint()
+    # full feature scan (lazy: no separate build job, first action computes)
+    per_fold = per_fold.localCheckpoint(eager=False)
     tot_cols = ["cnt", "s1", "s2", "s11", "s22", "s12", "sy", "s1y", "s2y"]
     totals = per_fold.agg(*[F.sum(c).alias(f"t_{c}") for c in tot_cols])
     # leave-fold-out training moments = totals − own fold (exact int math)
@@ -504,8 +504,8 @@ def spot_the_diff_drift_2d(
     )
     # n_folds-row relation consumed by three branches (totals, coef,
     # final_coef) — materialize once so each branch does not re-derive the
-    # full feature scan
-    per_fold = per_fold.localCheckpoint()
+    # full feature scan (lazy: no separate build job, first action computes)
+    per_fold = per_fold.localCheckpoint(eager=False)
     tot_cols = ["cnt", "s1", "s2", "s11", "s22", "s12", "sy", "s1y", "s2y"]
     totals = per_fold.agg(*[F.sum(c).alias(f"t_{c}") for c in tot_cols])
     train = per_fold.crossJoin(F.broadcast(totals)).select(

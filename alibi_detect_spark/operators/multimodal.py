@@ -195,7 +195,12 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     schema = "media_id string, kind string, mean_val double, std_val double, embedding array<double>"
-    return media.mapInPandas(fn, schema=schema)
+    # spread the payload batches before the python stage: a single-file scan
+    # is one partition, which would serialize every decode on one worker
+    # (partition-count-guarded — a no-op when the scan is already parallel)
+    from .dedup import _spread
+
+    return _spread(media, "media_id").mapInPandas(fn, schema=schema)
 
 
 def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:

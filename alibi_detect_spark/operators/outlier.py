@@ -418,8 +418,19 @@ def _emb_quant_moments(emb, vec_col: str, d: int, quant: int):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * float(quant)
             xq = np.where(x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)).astype(np.int64)
+            # enforce the "int64-safe per batch" claim: |xq| ≤ B with
+            # rows·B² < 2⁶³ guarantees the per-batch accumulation cannot
+            # wrap (numpy wraps silently); fail loudly instead of corrupting
+            # the fit moments
+            mx = int(np.abs(xq).max(initial=0))
+            if mx and len(xq) * mx * mx >= 2**63:
+                raise ValueError(
+                    f"emb quantized moments: |component*quant| up to {mx} over "
+                    f"{len(xq)} rows/batch can overflow int64 — lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch or quant"
+                )
             s1 = xq.sum(axis=0)
-            s2 = xq.T @ xq  # [d, d] int64 — safe per Arrow batch
+            s2 = xq.T @ xq  # [d, d] int64 — asserted safe per Arrow batch
             rows = {"j": [], "k": [], "v": []}
             rows["j"].append(-1); rows["k"].append(-1); rows["v"].append(len(xq))
             for j in range(d):
@@ -481,8 +492,19 @@ def pca_outlier_emb(
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * float(quant)
             xq = np.where(x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)).astype(np.int64)
+            # enforce the "int64-safe per batch" claim: |xq| ≤ B with
+            # rows·B² < 2⁶³ guarantees the per-batch accumulation cannot
+            # wrap (numpy wraps silently); fail loudly instead of corrupting
+            # the fit moments
+            mx = int(np.abs(xq).max(initial=0))
+            if mx and len(xq) * mx * mx >= 2**63:
+                raise ValueError(
+                    f"emb quantized moments: |component*quant| up to {mx} over "
+                    f"{len(xq)} rows/batch can overflow int64 — lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch or quant"
+                )
             s1 = xq.sum(axis=0)
-            s2 = xq.T @ xq  # [d, d] int64 — safe per Arrow batch
+            s2 = xq.T @ xq  # [d, d] int64 — asserted safe per Arrow batch
             rows = {"j": [], "k": [], "v": []}
             rows["j"].append(-1); rows["k"].append(-1); rows["v"].append(len(xq))
             for j in range(d):
@@ -1781,6 +1803,7 @@ def mahalanobis_cat_scores(
     n_iter: int = 16,
     d_type: str = "abdm",
     w: float = 0.5,
+    max_categories: int = 1000,
 ):
     """Mahalanobis outlier scoring over MIXED categorical + numerical features
     — the ``cat_vars`` path of the legacy detector
@@ -1854,6 +1877,28 @@ def mahalanobis_cat_scores(
         )
         .collect()
     )
+    # degenerate-input guards: a NULL category would make the sort below
+    # raise an opaque TypeError, k < 2 has no pairwise distance to embed,
+    # and the k-row contingency collect + k×k MDS are only bounded because
+    # category cardinality is (the reference's d_abs dict carries the same
+    # implicit bound) — fail fast with actionable messages instead
+    if any(r[cat_col] is None for r in rows):
+        raise ValueError(
+            f"mahalanobis_cat_scores: NULL values in category column "
+            f"{cat_col!r} — filter or impute them before scoring"
+        )
+    if len(rows) < 2:
+        raise ValueError(
+            f"mahalanobis_cat_scores: need >= 2 categories in {cat_col!r}, "
+            f"got {len(rows)} — pairwise category distances are undefined"
+        )
+    if len(rows) > max_categories:
+        raise ValueError(
+            f"mahalanobis_cat_scores: {len(rows)} categories in {cat_col!r} "
+            f"exceeds max_categories={max_categories}; the k-row contingency "
+            "collect and k x k MDS are driver-side — raise max_categories "
+            "only if the driver can hold k x k doubles"
+        )
     rows.sort(key=lambda r: r[cat_col])
     cats = [r[cat_col] for r in rows]
     counts = [int(r["n_c"]) for r in rows]

@@ -918,9 +918,20 @@ def ssa_stream(
         return float(Decimal(repr(float(val))).quantize(Decimal("0.000001"), ROUND_HALF_UP)) + 0.0
 
     def fn(key, pdf_iter, state):
+        import logging
+
+        log = logging.getLogger("alibi_detect_spark.ssa_stream")
         (source,) = key
         v = vectors.get(source)
         if v is None:
+            # unfitted source: emit nothing, but OBSERVABLY — a new source
+            # appearing mid-stream otherwise disappears without a trace
+            # (message lands in the executor stderr log)
+            n_rows = sum(len(p) for p in pdf_iter)
+            log.warning(
+                "ssa_stream: source %r has no fitted vectors — dropping %d "
+                "row(s); re-fit to include it", source, n_rows,
+            )
             return
         if state.exists:
             n, xs_tail, ts_pend, last_ts = state.get
@@ -935,7 +946,16 @@ def ssa_stream(
         out_ts, out_sc = [], []
         for pdf in ([whole] if whole is not None else []):
             pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+            n_in = len(pdf)
             pdf = pdf[pdf["bucket_ts"] > last_ts]
+            if n_in > len(pdf):
+                # late data behind the state high-water mark is dropped by
+                # design (exactly-once replay contract) — log it so the drop
+                # is observable in the executor logs
+                log.warning(
+                    "ssa_stream: source %r dropped %d late row(s) at or "
+                    "behind bucket_ts=%d", source, n_in - len(pdf), last_ts,
+                )
             if not len(pdf):
                 continue
             for ts, val in zip(

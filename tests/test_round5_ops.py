@@ -358,3 +358,49 @@ def test_kpca_4land_matches_numpy_twin(spark):
         .reset_index(drop=True)
     )
     assert a.reset_index(drop=True).equals(b)
+
+
+@pytest.mark.usefixtures("spark")
+def test_mahalanobis_cat_degenerate_guards(spark):
+    """r6 hardening: NULL categories, k < 2, and k > max_categories fail fast
+    with actionable errors instead of opaque sort/NaN failures."""
+    import pandas as pd
+
+    from alibi_detect_spark.operators.outlier import mahalanobis_cat_scores
+
+    base = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4], "event_type": ["a", "b", "a", "b"],
+         "value": [1.0, 2.0, 3.0, 4.0]}
+    )
+    nulls = base.copy()
+    nulls.loc[0, "event_type"] = None
+    with pytest.raises(ValueError, match="NULL"):
+        mahalanobis_cat_scores(spark.createDataFrame(nulls), "event_type", "value")
+    single = base.copy()
+    single["event_type"] = "a"
+    with pytest.raises(ValueError, match=">= 2 categories"):
+        mahalanobis_cat_scores(spark.createDataFrame(single), "event_type", "value")
+    with pytest.raises(ValueError, match="max_categories"):
+        mahalanobis_cat_scores(
+            spark.createDataFrame(base), "event_type", "value", max_categories=1
+        )
+
+
+def test_emb_quant_moments_overflow_guard(spark):
+    """r6 hardening: components whose quantized magnitude could wrap int64 in
+    the per-batch accumulation raise instead of corrupting the moments."""
+    import numpy as np
+    import pandas as pd
+
+    from alibi_detect_spark.operators import outlier
+
+    # quant=1e6 -> xq ~ 4e9 per component; 600 rows x (4e9)^2 >= 2^63
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(600, dtype=np.int64),
+            "embedding": [np.full(4, 4e3, dtype=np.float64).tolist()] * 600,
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="overflow int64"):
+        outlier.pca_outlier_emb(emb, dim=4)

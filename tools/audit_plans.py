@@ -360,11 +360,15 @@ def main() -> None:
     audit(
         "iforest_hash",
         qs["iforest_hash"](spark, SF),
-        requires=["BroadcastHashJoin", "TakeOrderedAndProject"],
-        forbids=["CartesianProduct", "SortMergeJoin", "MapInPandas"],
+        requires=["TakeOrderedAndProject"],
+        # r6: the (leaf → h) maps are literal map lookups collected in one
+        # bounded grouping-sets job — the scoring plan has NO joins at all
+        # (previously depth−1 broadcast joins per tree)
+        forbids=["CartesianProduct", "SortMergeJoin", "MapInPandas", "BroadcastHashJoin"],
         note="Deterministic isolation forest: leaf bit-strings in codegen, "
-        "per-tree leaf counts are tiny aggregates, the (leaf → h) maps "
-        "broadcast back — the corpus never wide-shuffles.",
+        "all trees' leaf counts from ONE bounded grouping-sets aggregate, "
+        "the (leaf → h) maps re-enter as literal map lookups — the scoring "
+        "plan is a single scan with zero joins; the corpus never shuffles.",
     )
     audit(
         "context_mmd_hash",
@@ -443,7 +447,9 @@ def main() -> None:
     #     no CartesianProduct anywhere (stats travel via broadcast)
     df = qs["knn_ensemble"](spark, SF)
     p = plan_of(df)
-    ok = "CartesianProduct" not in p and "MapInPandas" in p
+    # r6: the Arrow distance stage is materialized once behind a lazy
+    # localCheckpoint, so the final plan reads it as Scan ExistingRDD
+    ok = "CartesianProduct" not in p and ("MapInPandas" in p or "ExistingRDD" in p)
     if "Window" in p and "hashpartitioning(kk" not in p and "hashpartitioning(knn" not in p:
         # the bucketed window must shuffle on (kk, bkt) — a window without a
         # partition key would single-task the full distinct-value relation
